@@ -1,0 +1,417 @@
+"""C1–C32 — the data-shape constraint compiler.
+
+Replaces the reference's Jinja2-template → pySHACL-interpretation stack
+(/root/reference/shacl_shape_builder.py + dq_assessment/shapes/
+data_shapes.template.ttl) with a driver-side planner that compiles every
+shape family to ONE fused DataFrame job (filters, semi/anti joins, hash
+aggregates over the triple table T), emitting a uniform violations
+DataFrame V(metric, item, focus, value).
+
+Key semantics preserved from the reference (citations per family below):
+  * the sh:or exemption wrapper — focus nodes typed rdfs:Class /
+    rdf:Property / owl:NamedIndividual are exempt from entity-scoped shapes
+    (data_shapes.template.ttl:16-33) → one reusable anti-join set X;
+  * shape pruning by usage — per-property shapes only for vocab properties
+    actually used in the data (shacl_shape_builder.py:318,345,370,…);
+  * sh:datatype = datatype-IRI match AND well-formed lexical form;
+  * one physical job fanned out to two metrics where the reference
+    instantiates both (CorrectRange+MalformedLiteral, SelfDescriptiveFormat
+    +BlankNodesUsage).
+
+Scale notes: T is the only big input; every vocab dim is broadcast; every
+family is a single scan+join/agg so the whole plan is O(#families) jobs,
+not O(#shapes) — the reference's 344 pizza shapes compile to ~20 jobs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shacl_dqa_prototype_spark.functions.terms import (
+    EXEMPT_TYPES,
+    OWL_NAMED_INDIVIDUAL,
+    OWL_SAME_AS,
+    PROLIX_CLASSES,
+    RDF_LANGSTRING,
+    RDF_TYPE,
+    RDFS_LABEL,
+    DCT,
+    RDFS,
+    XSD,
+)
+from shacl_dqa_prototype_spark.functions.xsd import ill_formed_literal
+from shacl_dqa_prototype_spark.schemas import VIOLATIONS_SCHEMA
+
+
+@dataclass
+class DQAConfig:
+    """Engine equivalent of the reference INI config
+    (/root/reference/config/config_template.ini → dq_assessment.py:53-86)."""
+
+    type_property: str = RDF_TYPE
+    labeling_property: str = RDFS_LABEL
+    description_property: str = f"{DCT}description"
+    interlinking_property: str = OWL_SAME_AS
+    uris_max_length: int = 80
+    base_uri: str | None = None
+    uri_regex_pattern: str | None = None   # from VoID metadata (C4)
+    uri_space: str | None = None           # from VoID metadata (C5)
+    check_languages: bool = True
+
+
+@dataclass(frozen=True)
+class ShapeSpec:
+    """One instantiated shape = one (metric, item) scoring row.
+
+    denom ∈ {binary, entities, subjects_per_property, entities_per_class}
+    selects the score rule + denominator family (const.py:33-104)."""
+
+    metric: str
+    item: str | None
+    denom: str
+    denom_key: str | None = None
+
+
+@dataclass
+class VocabTerm:
+    term: str
+    term_kind: str          # class | object_property | datatype_property | rdf_property
+    domain: str | None = None
+    range: str | None = None
+    range_kind: str | None = None
+    deprecated: bool = False
+    functional: bool = False
+    inverse_functional: bool = False
+    irreflexive: bool = False
+    asymmetric: bool = False
+
+
+@dataclass
+class ConstraintPlan:
+    violations: DataFrame
+    shapes: list[ShapeSpec] = field(default_factory=list)
+
+
+def _v(df: DataFrame, metric: str, item: Column | str | None,
+       focus: Column, value: Column | None = None) -> DataFrame:
+    item_col = (
+        F.lit(None).cast("string") if item is None
+        else (F.lit(item) if isinstance(item, str) else item)
+    )
+    return df.select(
+        F.lit(metric).alias("metric"),
+        item_col.alias("item"),
+        focus.cast("string").alias("focus"),
+        (value if value is not None else F.lit(None)).cast("string").alias("value"),
+    )
+
+
+def compile_data_constraints(
+    T: DataFrame,
+    vocab_terms: list[VocabTerm],
+    disjoint_pairs: list[tuple[str, str]],
+    cfg: DQAConfig,
+) -> ConstraintPlan:
+    """Compile + evaluate all data shapes. Returns the violations DF
+    (lazy; caller caches before scoring) and the instantiated shape list."""
+    spark = T.sparkSession
+    p, s, o = F.col("p"), F.col("s"), F.col("o")
+
+    # ---- shared sub-plans (each used by several families) ----------------
+    typing = T.filter(p == cfg.type_property).select("s", "o")
+    entities = typing.select("s").distinct()
+    exempt = typing.filter(o.isin(EXEMPT_TYPES)).select("s").distinct()
+    # entity targets minus the sh:or exemption set
+    EnX = entities.join(exempt, "s", "left_anti").cache()
+
+    # usage pruning inputs (tiny: O(#properties), O(#classes))
+    used_props = {r["p"] for r in T.select("p").distinct().collect()}
+    used_classes = {r["o"] for r in typing.select("o").distinct().collect()}
+
+    classes = [t for t in vocab_terms if t.term_kind == "class" and not t.deprecated]
+    depr_classes = [t.term for t in vocab_terms if t.term_kind == "class" and t.deprecated]
+    props = [t for t in vocab_terms if t.term_kind != "class"]
+    depr_props = [t.term for t in props if t.deprecated]
+    obj_props = [t.term for t in props if t.term_kind == "object_property" and not t.deprecated]
+    dt_props = [t.term for t in props if t.term_kind == "datatype_property" and not t.deprecated]
+
+    shapes: list[ShapeSpec] = []
+    parts: list[DataFrame] = []
+
+    def add(metric: str, item: str | None, denom: str, denom_key: str | None = None):
+        shapes.append(ShapeSpec(metric, item, denom, denom_key))
+
+    # ---- C1 UsageExternalURIEntities (template:1-10) ----------------------
+    # Violation: interlinking value inside the dataset's own base URI.
+    if cfg.base_uri:
+        ilp = cfg.interlinking_property
+        parts.append(_v(
+            T.filter((p == ilp) & o.startswith(cfg.base_uri)),
+            "UsageExternalURIEntities", ilp, s, o,
+        ))
+        add("UsageExternalURIEntities", cfg.interlinking_property,
+            "subjects_per_property", cfg.interlinking_property)
+
+    # ---- C2 UsageHashURIsEntities (template:12-34) ------------------------
+    parts.append(_v(EnX.filter(F.col("s").contains("#")),
+                    "UsageHashURIsEntities", None, F.col("s")))
+    add("UsageHashURIsEntities", None, "entities")
+
+    # ---- C3 LabelForEntities (template:36-59): minCount 1 anti-join -------
+    label_subjects = T.filter(p == cfg.labeling_property).select("s").distinct()
+    parts.append(_v(EnX.join(label_subjects, "s", "left_anti"),
+                    "LabelForEntities", None, F.col("s")))
+    add("LabelForEntities", None, "entities")
+
+    # ---- C4/C5 URI regex/space compliance (template:61-107, gated) --------
+    if cfg.uri_regex_pattern:
+        parts.append(_v(EnX.filter(~F.col("s").rlike("^" + cfg.uri_regex_pattern)),
+                        "URIRegexComplianceEntities", None, F.col("s")))
+        add("URIRegexComplianceEntities", None, "entities")
+    if cfg.uri_space:
+        parts.append(_v(EnX.filter(~F.col("s").startswith(cfg.uri_space)),
+                        "URISpaceComplianceEntities", None, F.col("s")))
+        add("URISpaceComplianceEntities", None, "entities")
+
+    # ---- C6 InterlinkingCompleteness (template:109-132) -------------------
+    ilp_subjects = T.filter(p == cfg.interlinking_property).select("s").distinct()
+    parts.append(_v(EnX.join(ilp_subjects, "s", "left_anti"),
+                    "InterlinkingCompleteness", None, F.col("s")))
+    add("InterlinkingCompleteness", None, "entities")
+
+    # ---- C7 SchemaCompletenessClassUsage (template:134-154) ---------------
+    # Per vocab class: >=1 instance that is not the NamedIndividual IRI.
+    # ONE job for all classes: classes-with-real-instances, anti-joined.
+    if classes:
+        cls_df = spark.createDataFrame([(c.term,) for c in classes], ["cls"])
+        with_instances = (
+            typing.filter(F.col("s") != OWL_NAMED_INDIVIDUAL)
+            .select(F.col("o").alias("cls")).distinct()
+        )
+        missing = F.broadcast(cls_df).join(with_instances, "cls", "left_anti")
+        parts.append(_v(missing, "SchemaCompletenessClassUsage",
+                        F.col("cls"), F.col("cls")))
+        for c in classes:
+            add("SchemaCompletenessClassUsage", c.term, "binary")
+
+    # ---- C8/C9 URI length / query params (template:156-202) ---------------
+    parts.append(_v(EnX.filter(F.length("s") > cfg.uris_max_length),
+                    "URIsLengthEntities", None, F.col("s")))
+    add("URIsLengthEntities", None, "entities")
+    parts.append(_v(EnX.filter(F.col("s").rlike(r"\?.+=.*")),
+                    "URIsParametersEntities", None, F.col("s")))
+    add("URIsParametersEntities", None, "entities")
+
+    # ---- C10 ProlixFeatures (template:204-234) -----------------------------
+    prolix_subjects = typing.filter(o.isin(PROLIX_CLASSES)).select("s").distinct()
+    parts.append(_v(EnX.join(prolix_subjects, "s", "semi"),
+                    "ProlixFeatures", None, F.col("s")))
+    add("ProlixFeatures", None, "entities")
+
+    # ---- C11/C12 DifferentLanguages* (template:236-284, gated) ------------
+    if cfg.check_languages:
+        for metric, prop in (
+            ("DifferentLanguagesLabelsEntities", cfg.labeling_property),
+            ("DifferentLanguagesDescriptionsEntities", cfg.description_property),
+        ):
+            bad = (
+                T.filter((p == prop) & F.col("o_lang").isNull())
+                .join(exempt, "s", "left_anti")
+                .select("s").distinct()
+            )
+            parts.append(_v(bad, metric, prop, F.col("s")))
+            add(metric, prop, "subjects_per_property", prop)
+
+    # ---- C13/C15 SelfDescriptiveFormat + BlankNodesUsage (286-340) ---------
+    # Identical filter, two metrics: ONE scan fanned out twice.
+    bnode_entities = EnX.filter(F.col("s").startswith("_:"))
+    parts.append(_v(bnode_entities, "SelfDescriptiveFormat", None, F.col("s")))
+    parts.append(_v(bnode_entities, "BlankNodesUsageEntities", None, F.col("s")))
+    add("SelfDescriptiveFormat", None, "entities")
+    add("BlankNodesUsageEntities", None, "entities")
+
+    # ---- C14 SelfDescriptiveFormatProperties (310-316): per used property --
+    # targetObjectsOf <prop>: object must be IRI. One scan for all props.
+    non_iri = T.filter(F.col("o_kind") != "iri")
+    parts.append(_v(non_iri, "SelfDescriptiveFormatProperties", p, o))
+    for prop in sorted(used_props):
+        add("SelfDescriptiveFormatProperties", prop, "binary")
+
+    # ---- C16 EntitiesDisjointClasses (342-350): directed pairs ------------
+    dpairs = [
+        (a, b) for (a, b) in
+        {(a, b) for (a, b) in disjoint_pairs} | {(b, a) for (a, b) in disjoint_pairs}
+        if a in used_classes
+    ]
+    if dpairs:
+        pair_df = spark.createDataFrame(dpairs, ["class_a", "class_b"])
+        ta = typing.withColumnsRenamed({"o": "class_a"})
+        tb = typing.withColumnsRenamed({"o": "class_b"})
+        both = ta.join(tb, "s").join(F.broadcast(pair_df), ["class_a", "class_b"], "semi")
+        parts.append(_v(both, "EntitiesDisjointClasses",
+                        F.concat_ws("|", "class_a", "class_b"), F.col("s")))
+        for a, b in sorted(dpairs):
+            add("EntitiesDisjointClasses", f"{a}|{b}", "entities_per_class", a)
+
+    # ---- C17 MisplacedProperties (352-361): prop IRI used as a class ------
+    if props:
+        prop_df = spark.createDataFrame([(t.term,) for t in props], ["term"])
+        misplaced_p = (
+            typing.select(F.col("o").alias("term")).distinct()
+            .join(F.broadcast(prop_df), "term", "semi")
+        )
+        parts.append(_v(misplaced_p, "MisplacedProperties", F.col("term"), F.col("term")))
+        for t in props:
+            add("MisplacedProperties", t.term, "binary")
+
+    # ---- C18 MisplacedClasses (363-386): class IRI used as predicate ------
+    if classes:
+        cls_df2 = spark.createDataFrame([(c.term,) for c in classes], ["term"])
+        misplaced_c = (
+            T.select(F.col("p").alias("term"), "s")
+            .join(F.broadcast(cls_df2), "term", "semi")
+        )
+        parts.append(_v(misplaced_c, "MisplacedClasses", F.col("term"), F.col("s")))
+        for c in classes:
+            add("MisplacedClasses", c.term, "binary")
+
+    # ---- C19/C20 Misuse of object/datatype properties (388-408) -----------
+    used_obj = sorted(set(obj_props) & used_props)
+    if used_obj:
+        parts.append(_v(
+            T.filter(p.isin(used_obj) & (F.col("o_kind") == "literal")),
+            "MisuseOwlObjectProperties", p, s, o))
+        for prop in used_obj:
+            add("MisuseOwlObjectProperties", prop, "subjects_per_property", prop)
+    used_dt = sorted(set(dt_props) & used_props)
+    if used_dt:
+        parts.append(_v(
+            T.filter(p.isin(used_dt) & (F.col("o_kind") != "literal")),
+            "MisuseOwlDatatypeProperties", p, s, o))
+        for prop in used_dt:
+            add("MisuseOwlDatatypeProperties", prop, "subjects_per_property", prop)
+
+    # ---- C21 DeprecatedClasses (410-435): single binary shape -------------
+    if depr_classes:
+        parts.append(_v(typing.filter(o.isin(depr_classes)),
+                        "DeprecatedClasses", None, s, o))
+        add("DeprecatedClasses", None, "binary")
+
+    # ---- C22 DeprecatedProperties (437-460): per deprecated prop ----------
+    if depr_props:
+        parts.append(_v(T.filter(p.isin(depr_props)),
+                        "DeprecatedProperties", p, s))
+        for prop in sorted(depr_props):
+            add("DeprecatedProperties", prop, "entities")  # const.py:76-86
+
+    # ---- C23 InverseFunctionalPropertyUniqueness (462-471) ----------------
+    ifp = sorted({t.term for t in props if t.inverse_functional} & used_props)
+    if ifp:
+        shared = (
+            T.filter(p.isin(ifp))
+            .groupBy("p", "o").agg(F.countDistinct("s").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        parts.append(_v(shared, "InverseFunctionalPropertyUniqueness", p, o))
+        for prop in ifp:
+            add("InverseFunctionalPropertyUniqueness", prop, "binary")
+
+    # ---- C24 FunctionalProperty (473-482): maxCount 1 per subject ---------
+    fp = sorted({t.term for t in props if t.functional} & used_props)
+    if fp:
+        multi = (
+            T.filter(p.isin(fp))
+            .groupBy("p", "s").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        parts.append(_v(multi, "FunctionalProperty", p, s))
+        for prop in fp:
+            add("FunctionalProperty", prop, "subjects_per_property", prop)
+
+    # ---- C25 AsymmetricProperty (484-493): pair-swap semi self-join -------
+    asym = sorted({t.term for t in props if t.asymmetric} & used_props)
+    if asym:
+        R = T.filter(p.isin(asym)).select("p", "s", "o")
+        Rswap = R.select(F.col("p").alias("p2"), F.col("o").alias("s2"),
+                         F.col("s").alias("o2"))
+        mutual = R.join(
+            Rswap,
+            (R.p == Rswap.p2) & (R.s == Rswap.s2) & (R.o == Rswap.o2),
+            "semi",
+        )
+        parts.append(_v(mutual, "AsymmetricProperty", p, s, o))
+        for prop in asym:
+            add("AsymmetricProperty", prop, "subjects_per_property", prop)
+
+    # ---- C31 IrreflexiveProperty (573-579): s==o loops ---------------------
+    irr = sorted({t.term for t in props if t.irreflexive} & used_props)
+    if irr:
+        parts.append(_v(T.filter(p.isin(irr) & (s == o)),
+                        "IrreflexiveProperty", p, s))
+        for prop in irr:
+            add("IrreflexiveProperty", prop, "subjects_per_property", prop)
+
+    # ---- C26/C27 CorrectDomain (495-509) -----------------------------------
+    dom_terms = [t for t in props if t.domain and t.term in used_props and not t.deprecated]
+    dom_class = [t for t in dom_terms if t.domain != "http://www.w3.org/2002/07/owl#Thing"]
+    if dom_class:
+        dom_df = spark.createDataFrame(
+            [(t.term, t.domain) for t in dom_class], ["p", "domain"])
+        subj_prop = T.join(F.broadcast(dom_df), "p").select("p", "s", "domain").distinct()
+        typed_as = typing.withColumnsRenamed({"o": "domain"})
+        bad_dom = subj_prop.join(typed_as, ["s", "domain"], "left_anti")
+        parts.append(_v(bad_dom, "CorrectDomain", p, s))
+    for t in dom_terms:
+        # owl:Thing domain → nodeKind BlankNodeOrIRI, structurally satisfied
+        # for RDF subjects (C27) — shape still instantiated, score 1.
+        add("CorrectDomain", t.term, "subjects_per_property", t.term)
+
+    # ---- C28/C29/C30/C32 CorrectRange + MalformedLiteral (511-590) --------
+    rng_terms = [t for t in props if t.range and t.term in used_props and not t.deprecated]
+    rng_dt = [t for t in rng_terms if t.range_kind == "literal"]
+    rng_cls = [t for t in rng_terms
+               if t.range_kind == "class" and t.range != f"{RDFS}Resource"]
+    if rng_dt:
+        dt_df = spark.createDataFrame(
+            [(t.term, t.range) for t in rng_dt], ["p", "range"])
+        vals = T.join(F.broadcast(dt_df), "p")
+        if_literal_range = F.when(
+            F.col("range") == f"{RDFS}Literal", F.col("o_kind") != "literal"
+        )
+        is_langstring = F.when(
+            F.col("range") == RDF_LANGSTRING,
+            (F.col("o_kind") != "literal") | F.col("o_lang").isNull(),
+        )
+        bad_rng_dt = vals.filter(
+            F.coalesce(
+                if_literal_range,
+                is_langstring,
+                (F.col("o_kind") != "literal")
+                | (F.col("o_dtype").isNull() | (F.col("o_dtype") != F.col("range")))
+                | ill_formed_literal(o, F.col("o_dtype")),
+            )
+        )
+        parts.append(_v(bad_rng_dt, "CorrectRange", p, s, o))
+        # Same physical violations, second metric (shacl_shape_builder.py:361-362)
+        xsd_rng = bad_rng_dt.filter(F.col("range").startswith(XSD))
+        parts.append(_v(xsd_rng, "MalformedLiteral", p, s, o))
+    if rng_cls:
+        cls_rng_df = spark.createDataFrame(
+            [(t.term, t.range) for t in rng_cls], ["p", "range"])
+        vals_c = T.join(F.broadcast(cls_rng_df), "p").select("p", "s", "o", "range")
+        typed_obj = typing.select(F.col("s").alias("o"), F.col("o").alias("range"))
+        bad_rng_cls = vals_c.join(typed_obj, ["o", "range"], "left_anti")
+        parts.append(_v(bad_rng_cls, "CorrectRange", p, s, o))
+    for t in rng_terms:
+        add("CorrectRange", t.term, "subjects_per_property", t.term)
+        if t.range_kind == "literal" and t.range and t.range.startswith(XSD):
+            add("MalformedLiteral", t.term, "subjects_per_property", t.term)
+
+    violations = reduce(DataFrame.unionByName, parts) if parts else (
+        spark.createDataFrame([], VIOLATIONS_SCHEMA)
+    )
+    return ConstraintPlan(violations=violations, shapes=shapes)

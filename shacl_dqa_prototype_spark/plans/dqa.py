@@ -1,0 +1,79 @@
+"""DQA orchestration — the engine's equivalent of DQAssessment.run()
+(/root/reference/dq_assessment.py:89-125): profile → compile constraint
+plan → evaluate → score → report.
+
+Stage DAG preserved from the reference (metadata gates the contextual data
+shapes — shacl_shape_builder.py:63-77): metadata results feed
+uri_regex/uri_space into DQAConfig before data shapes compile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shacl_dqa_prototype_spark.plans.constraints import (
+    DQAConfig,
+    VocabTerm,
+    compile_data_constraints,
+)
+from shacl_dqa_prototype_spark.plans.metadata import evaluate_metadata
+from shacl_dqa_prototype_spark.plans.profile import GraphProfile, profile_graph
+from shacl_dqa_prototype_spark.plans.scoring import DIMENSIONS, score_plan
+from shacl_dqa_prototype_spark.functions.terms import VOID
+
+
+def run_data_dqa(
+    T: DataFrame,
+    vocab_terms: list[VocabTerm],
+    disjoint_pairs: list[tuple[str, str]],
+    cfg: DQAConfig,
+    profile: GraphProfile | None = None,
+) -> DataFrame:
+    """Full data-shape assessment over the triple table → report DF."""
+    if profile is None:
+        profile = profile_graph(
+            T, cfg.type_property, cfg.labeling_property,
+            cfg.description_property, cfg.interlinking_property,
+        )
+    plan = compile_data_constraints(T, vocab_terms, disjoint_pairs, cfg)
+    plan.violations = plan.violations.cache()
+    return score_plan(T.sparkSession, plan, profile, target="data")
+
+
+def run_metadata_dqa(
+    spark: SparkSession, metadata: DataFrame, metadata_class: str = f"{VOID}Dataset"
+) -> DataFrame:
+    results = evaluate_metadata(metadata, metadata_class)
+    rows = [
+        (
+            "metadata",
+            DIMENSIONS.get(r.metric),
+            r.metric,
+            None,
+            "binary",
+            float(r.measure),
+            0 if r.measure else 1,
+            r.message,
+        )
+        for r in results
+    ]
+    return spark.createDataFrame(
+        rows,
+        "target string, dimension string, metric string, item string, "
+        "score_kind string, measure double, num_violations long, violations string",
+    )
+
+
+def contextual_config_from_metadata(metadata: DataFrame, cfg: DQAConfig) -> DQAConfig:
+    """The reference reads the metadata results to decide whether to emit
+    the uriRegex/uriSpace data shapes (shacl_shape_builder.py:63-77)."""
+    rows = metadata.filter(
+        F.col("p").isin(f"{VOID}uriRegexPattern", f"{VOID}uriSpace")
+    ).collect()
+    regex = next((r["o"] for r in rows if r["p"] == f"{VOID}uriRegexPattern"), None)
+    space = next((r["o"] for r in rows if r["p"] == f"{VOID}uriSpace"), None)
+    from dataclasses import replace
+
+    return replace(cfg, uri_regex_pattern=regex or cfg.uri_regex_pattern,
+                   uri_space=space or cfg.uri_space)

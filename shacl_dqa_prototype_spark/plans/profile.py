@@ -1,0 +1,101 @@
+"""B1–B9 — graph profiling: the reference's profile_graph
+(/root/reference/utils.py:62-135) as ONE multi-aggregate Spark job plus two
+small per-key aggregate tables.
+
+The scalar counts (B1–B4, B8) fuse into a single conditional-aggregation
+pass over T — one scan, one (partial-agg, final-agg) stage pair — instead of
+eight separate jobs. The per-property/per-class tables (B5–B7) are the
+denominator dims for all ratio metrics (utils.py:866-871); they stay
+DataFrames and are broadcast into scoring.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class GraphProfile:
+    num_triples: int
+    num_classes: int
+    num_entities: int
+    num_properties: int
+    num_entities_interlinking: int
+    num_entities_label: int
+    num_entities_description: int
+    # denominator dims (small: O(#properties), O(#classes))
+    triples_per_property: DataFrame = field(repr=False, default=None)
+    subjects_per_property: DataFrame = field(repr=False, default=None)
+    entities_per_class: DataFrame = field(repr=False, default=None)
+
+    def as_dict(self) -> dict:
+        return {
+            "num_triples": self.num_triples,
+            "num_classes": self.num_classes,
+            "num_entities": self.num_entities,
+            "num_properties": self.num_properties,
+            "num_entities_interlinking": self.num_entities_interlinking,
+            "num_entities_label": self.num_entities_label,
+            "num_entities_description": self.num_entities_description,
+        }
+
+
+def profile_graph(
+    T: DataFrame,
+    type_property: str,
+    labeling_property: str,
+    description_property: str,
+    interlinking_property: str,
+) -> GraphProfile:
+    """One fused scan for scalars (B1-B4, B8); two hash-agg jobs for the
+    denominator dims (B5/B6 share a scan via grouping on p)."""
+    p, s, o = F.col("p"), F.col("s"), F.col("o")
+    scalars = T.agg(
+        F.count("*").alias("num_triples"),
+        F.countDistinct(F.when(p == type_property, o)).alias("num_classes"),
+        F.countDistinct(F.when(p == type_property, s)).alias("num_entities"),
+        F.countDistinct(p).alias("num_properties"),
+        F.countDistinct(F.when(p == interlinking_property, s)).alias("n_ilp"),
+        F.countDistinct(F.when(p == labeling_property, s)).alias("n_lbl"),
+        F.countDistinct(F.when(p == description_property, s)).alias("n_dsc"),
+    ).first()
+
+    per_property = T.groupBy("p").agg(
+        F.count("*").alias("num_triples"),
+        F.countDistinct("s").alias("num_subjects"),
+    )
+    entities_per_class = (
+        T.filter(p == type_property)
+        .groupBy(o.alias("cls"))
+        .agg(F.countDistinct("s").alias("num_instances"))
+    )
+    return GraphProfile(
+        num_triples=scalars["num_triples"],
+        num_classes=scalars["num_classes"],
+        num_entities=scalars["num_entities"],
+        num_properties=scalars["num_properties"],
+        num_entities_interlinking=scalars["n_ilp"],
+        num_entities_label=scalars["n_lbl"],
+        num_entities_description=scalars["n_dsc"],
+        triples_per_property=per_property.select("p", "num_triples"),
+        subjects_per_property=per_property.select("p", "num_subjects"),
+        entities_per_class=entities_per_class,
+    )
+
+
+def infer_namespace(T: DataFrame) -> str:
+    """B9 — most common namespace of subject IRIs (utils.py:138-154)."""
+    row = (
+        T.filter(~F.col("s").startswith("_:"))
+        .select(F.regexp_extract("s", r"^(.*[#/])", 1).alias("ns"))
+        .filter(F.col("ns") != "")
+        .groupBy("ns")
+        .count()
+        .orderBy(F.desc("count"), F.asc("ns"))
+        .limit(1)
+        .first()
+    )
+    return row["ns"] if row else ""

@@ -1,0 +1,228 @@
+"""Constraint-unit + score tests over a violation-seeded triple fixture
+(FIXTURES.md §2 — mirrors the reference pizza seeding patterns)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_dqa_prototype_spark.functions.terms import (
+    OWL_NAMED_INDIVIDUAL,
+    OWL_SAME_AS,
+    RDF,
+    RDF_TYPE,
+    RDFS_LABEL,
+)
+from shacl_dqa_prototype_spark.plans.constraints import (
+    DQAConfig,
+    VocabTerm,
+    compile_data_constraints,
+)
+from shacl_dqa_prototype_spark.plans.profile import profile_graph
+from shacl_dqa_prototype_spark.plans.scoring import score_plan
+from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+
+EX = "http://example.org/"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_STR = "http://www.w3.org/2001/XMLSchema#string"
+
+CLASS_A, CLASS_B = f"{EX}ClassA", f"{EX}ClassB"
+DEPR_CLASS, EMPTY_CLASS = f"{EX}DeprClass", f"{EX}EmptyClass"
+KNOWS, PARTNER, AGE = f"{EX}knows", f"{EX}partner", f"{EX}age"
+EMAIL, PARENT, OLD = f"{EX}email", f"{EX}parent", f"{EX}oldProp"
+
+E1, E2 = f"{EX}e1", f"{EX}e2"
+E3 = f"{EX}thing#e3"
+E4 = "_:b4"
+E5 = f"{EX}{'e5' + 'x' * 90}"
+E6 = f"{EX}e6?id=1"
+E7, E8, E9 = f"{EX}e7", f"{EX}e8", f"{EX}e9"
+WEIRD = f"{EX}weird#x"
+B1, B2 = f"{EX}b1", f"{EX}b2"
+
+VOCAB = [
+    VocabTerm(CLASS_A, "class"),
+    VocabTerm(CLASS_B, "class"),
+    VocabTerm(EMPTY_CLASS, "class"),
+    VocabTerm(DEPR_CLASS, "class", deprecated=True),
+    VocabTerm(KNOWS, "object_property", asymmetric=True),
+    VocabTerm(PARTNER, "object_property", domain=CLASS_A, range=CLASS_B,
+              range_kind="class", functional=True),
+    VocabTerm(AGE, "datatype_property", range=XSD_INT, range_kind="literal",
+              functional=True),
+    VocabTerm(EMAIL, "datatype_property", range=XSD_STR, range_kind="literal",
+              inverse_functional=True),
+    VocabTerm(PARENT, "object_property", irreflexive=True),
+    VocabTerm(OLD, "datatype_property", deprecated=True),
+]
+DISJOINT = [(CLASS_A, CLASS_B)]
+
+
+def t(s, p, o, kind="iri", dtype=None, lang=None):
+    return (s, p, o, kind, dtype, lang)
+
+
+FIXTURE = [
+    # e1: clean entity apart from deprecated-prop usage & misplaced-class use
+    t(E1, RDF_TYPE, CLASS_A),
+    t(E1, RDFS_LABEL, "Entity one", "literal",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en"),
+    t(E1, OWL_SAME_AS, "http://other.org/e1"),
+    t(E1, PARTNER, B1),
+    t(E1, AGE, "42", "literal", XSD_INT),
+    t(E1, EMAIL, "a@x", "literal", XSD_STR),
+    t(E1, KNOWS, E2),
+    t(E1, OLD, "v", "literal", XSD_STR),            # DeprecatedProperties
+    t(E1, CLASS_B, "x", "literal", XSD_STR),        # MisplacedClasses
+    # e2: asymmetric-mutual, IFP-share, no-lang label, functional double,
+    # malformed int, object-prop-with-literal, no sameAs
+    t(E2, RDF_TYPE, CLASS_A),
+    t(E2, KNOWS, E1),                                # mutual with e1→e2
+    t(E2, EMAIL, "a@x", "literal", XSD_STR),         # shared IFP value
+    t(E2, RDFS_LABEL, "zwei", "literal", XSD_STR),   # label without lang
+    t(E2, PARTNER, B1),
+    t(E2, PARTNER, B2),                              # functional violation
+    t(E2, AGE, "fortytwo", "literal", XSD_INT),      # malformed literal
+    t(E2, KNOWS, "literal guy", "literal", XSD_STR), # obj prop w/ literal
+    # e3: hash URI, disjoint classes, irreflexive loop, dt prop w/ IRI
+    t(E3, RDF_TYPE, CLASS_A),
+    t(E3, RDF_TYPE, CLASS_B),                        # disjoint violation
+    t(E3, PARENT, E3),                               # irreflexive violation
+    t(E3, AGE, E1, "iri"),                           # dt prop with IRI
+    # e4: blank node entity
+    t(E4, RDF_TYPE, CLASS_A),
+    # e5: over-long URI; internal sameAs link
+    t(E5, RDF_TYPE, CLASS_A),
+    t(E5, RDFS_LABEL, "five", "literal",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString", "en"),
+    t(E5, OWL_SAME_AS, f"{EX}e1"),                   # internal → C1 violation
+    # e6: query-params URI
+    t(E6, RDF_TYPE, CLASS_A),
+    # e7: prolix (rdf:Bag)
+    t(E7, RDF_TYPE, f"{RDF}Bag"),
+    # e8: typed as a property → MisplacedProperties
+    t(E8, RDF_TYPE, KNOWS),
+    # e9: deprecated class instance
+    t(E9, RDF_TYPE, DEPR_CLASS),
+    # weird: exempt (NamedIndividual) despite hash URI
+    t(WEIRD, RDF_TYPE, OWL_NAMED_INDIVIDUAL),
+    # b1 typed ClassB (needed for partner range check); b2 untyped
+    t(B1, RDF_TYPE, CLASS_B),
+]
+
+CFG = DQAConfig(base_uri=EX)
+
+
+@pytest.fixture(scope="module")
+def plan_and_profile(spark):
+    T = spark.createDataFrame(FIXTURE, TRIPLES_SCHEMA).cache()
+    plan = compile_data_constraints(T, VOCAB, DISJOINT, CFG)
+    plan.violations = plan.violations.cache()
+    profile = profile_graph(T, CFG.type_property, CFG.labeling_property,
+                            CFG.description_property, CFG.interlinking_property)
+    return T, plan, profile
+
+
+def focus_set(plan, metric, item=None):
+    df = plan.violations.filter(F.col("metric") == metric)
+    if item is not None:
+        df = df.filter(F.col("item") == item)
+    return {r["focus"] for r in df.select("focus").distinct().collect()}
+
+
+def test_entity_scoped_filters(plan_and_profile):
+    _, plan, _ = plan_and_profile
+    assert focus_set(plan, "UsageHashURIsEntities") == {E3}      # weird exempt
+    assert focus_set(plan, "URIsLengthEntities") == {E5}
+    assert focus_set(plan, "URIsParametersEntities") == {E6}
+    assert focus_set(plan, "BlankNodesUsageEntities") == {E4}
+    assert focus_set(plan, "SelfDescriptiveFormat") == {E4}
+    assert focus_set(plan, "ProlixFeatures") == {E7}
+
+
+def test_existence_anti_joins(plan_and_profile):
+    _, plan, _ = plan_and_profile
+    # entities minus exempt = e1,e2,e3,b4,e5,e6,e7,e8,e9,b1 (10)
+    assert focus_set(plan, "LabelForEntities") == {E3, E4, E6, E7, E8, E9, B1}
+    assert focus_set(plan, "InterlinkingCompleteness") == {
+        E2, E3, E4, E6, E7, E8, E9, B1}
+
+
+def test_property_aggregates(plan_and_profile):
+    _, plan, _ = plan_and_profile
+    assert focus_set(plan, "FunctionalProperty", PARTNER) == {E2}
+    assert focus_set(plan, "FunctionalProperty", AGE) == set()
+    assert focus_set(plan, "InverseFunctionalPropertyUniqueness", EMAIL) == {"a@x"}
+    assert focus_set(plan, "AsymmetricProperty", KNOWS) == {E1, E2}
+    assert focus_set(plan, "IrreflexiveProperty", PARENT) == {E3}
+
+
+def test_consistency_joins(plan_and_profile):
+    _, plan, _ = plan_and_profile
+    assert focus_set(plan, "EntitiesDisjointClasses") == {E3}
+    assert focus_set(plan, "MisplacedProperties") == {KNOWS}
+    assert focus_set(plan, "MisplacedClasses", CLASS_B) == {E1}
+    assert focus_set(plan, "MisuseOwlObjectProperties", KNOWS) == {E2}
+    assert focus_set(plan, "MisuseOwlDatatypeProperties", AGE) == {E3}
+    assert focus_set(plan, "DeprecatedClasses") == {E9}
+    assert focus_set(plan, "DeprecatedProperties", OLD) == {E1}
+
+
+def test_range_domain(plan_and_profile):
+    _, plan, _ = plan_and_profile
+    # partner range ClassB: b2 untyped → e2 violates; b1 ok
+    assert focus_set(plan, "CorrectRange", PARTNER) == {E2}
+    # age range xsd:integer: e2 malformed, e3 IRI value
+    assert focus_set(plan, "CorrectRange", AGE) == {E2, E3}
+    assert focus_set(plan, "MalformedLiteral", AGE) == {E2, E3}
+    # partner domain ClassA: e1,e2 both typed A → no violations
+    assert focus_set(plan, "CorrectDomain", PARTNER) == set()
+
+
+def test_language_and_interlinking_quality(plan_and_profile):
+    _, plan, _ = plan_and_profile
+    assert focus_set(plan, "DifferentLanguagesLabelsEntities") == {E2}
+    assert focus_set(plan, "UsageExternalURIEntities") == {E5}
+
+
+def test_schema_completeness(plan_and_profile):
+    _, plan, _ = plan_and_profile
+    assert focus_set(plan, "SchemaCompletenessClassUsage") == {EMPTY_CLASS}
+
+
+def test_scores(spark, plan_and_profile):
+    T, plan, profile = plan_and_profile
+    report = score_plan(spark, plan, profile).cache()
+
+    def measure(metric, item=None, kind=None):
+        df = report.filter(F.col("metric") == metric)
+        df = df.filter(F.col("item") == item) if item else df.filter(
+            F.col("item").isNull())
+        if kind:
+            df = df.filter(F.col("score_kind") == kind)
+        rows = df.collect()
+        assert len(rows) == 1, f"{metric}/{item}: {rows}"
+        return rows[0]["measure"]
+
+    assert profile.num_entities == 11
+    # count metrics over entities: 1 - violations/11
+    assert measure("UsageHashURIsEntities") == pytest.approx(1 - 1 / 11)
+    assert measure("LabelForEntities") == pytest.approx(1 - 7 / 11)
+    assert measure("InterlinkingCompleteness") == pytest.approx(1 - 8 / 11)
+    # per-property ratio: partner has 2 distinct subjects, 1 violating
+    assert measure("FunctionalProperty", PARTNER) == pytest.approx(0.5)
+    # binary
+    assert measure("InverseFunctionalPropertyUniqueness", EMAIL) == 0.0
+    assert measure("DeprecatedClasses") == 0.0
+    # zero-violation shape scores 1
+    assert measure("FunctionalProperty", AGE) == 1.0
+    # disjoint: EntitiesDisjointClasses both directions, denominator =
+    # instances of first class (A: 6 typed-A entities; B: 2)
+    a_b = report.filter(
+        (F.col("metric") == "EntitiesDisjointClasses")
+        & (F.col("item") == f"{CLASS_A}|{CLASS_B}")).first()
+    assert a_b["measure"] == pytest.approx(1 - 1 / 6)
+    # meta rollups exist
+    meta = report.filter((F.col("score_kind") == "meta")
+                         & (F.col("metric") == "FunctionalProperty")).first()
+    assert meta["measure"] == pytest.approx(0.5)  # 1 of 2 properties clean
