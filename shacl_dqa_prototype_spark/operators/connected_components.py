@@ -57,18 +57,29 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(src, dst) → mapping(node, component) with component = min
     member of each component. Nodes not in any edge are absent (identity)."""
+    def _sig(df: DataFrame) -> tuple:
+        """Order-insensitive edge-set signature in ONE job: (count,
+        sum(hash), xor-ish second moment). Collision-safe enough for a
+        fixpoint test; replaces two anti-join jobs per iteration."""
+        row = df.select(
+            F.count("*").alias("n"),
+            # decimal sum: long would overflow under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("dst", "src", F.lit(7)).cast("decimal(38,0)")).alias("h2"),
+        ).first()
+        return (row["n"], row["h1"], row["h2"])
+
     cur = _symmetrize(edges).localCheckpoint(eager=True)
+    prev_sig = _sig(cur)
     for _ in range(max_iter):
         sym = _symmetrize(cur)
         after = _small_star(_large_star(sym).unionByName(sym).distinct())
         after = after.localCheckpoint(eager=True)
-        # Fixpoint test: star-contracted edge sets equal (cheap anti-joins
-        # on already-checkpointed inputs).
-        grew = after.join(cur, ["src", "dst"], "left_anti").limit(1).count()
-        shrank = cur.join(after, ["src", "dst"], "left_anti").limit(1).count()
+        cur_sig = _sig(after)
         cur = after
-        if grew == 0 and shrank == 0:
+        if cur_sig == prev_sig:
             break
+        prev_sig = cur_sig
     # At fixpoint every edge is (node, component-min).
     return cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
 

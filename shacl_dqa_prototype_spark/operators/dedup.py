@@ -1,0 +1,214 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each scale-designed:
+  * exact          — hash groupBy (one shuffle on a 128-bit digest)
+  * n-gram Jaccard — shingle explode → pair join on shingle → ratio; the
+                     shingle join is the classic candidate generator; at
+                     100 TB you bound it with the MinHash/LSH variant below
+  * MinHash + LSH  — shingle→minhash→band→bucket join: candidate pairs meet
+                     only inside an LSH bucket, so the join is
+                     O(Σ bucket²) not O(n²)
+  * SimHash        — 64-bit token-vote fingerprint; near-dups = small
+                     Hamming distance within a band bucket
+
+All are native DataFrame ops (xxhash64 / explode / groupBy); no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RX = r"\s+"
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    return F.lower(F.trim(F.col(col)))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dup groups by md5 of normalized text. Returns one row per
+    duplicated digest: (text_hash, n_docs, min_doc_id). md5 (not xxhash64)
+    so independent engines agree on the digest."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.md5(normalize_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per doc: split → sliding window via
+    transform over token indexes (native, no UDF)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), TOKEN_RX).alias("toks"),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)) - 0),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                )
+            ).alias("shingle"),
+        )
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All doc pairs with n-gram Jaccard ≥ threshold.
+
+    shingles ⋈ shingles on shingle (candidate pairs share ≥1 shingle) →
+    groupBy pair → |∩| ; |∪| = |A|+|B|−|∩|. The pair join is the hot spot;
+    at scale swap the candidate stage for minhash_lsh_candidates below."""
+    sh = _shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 64,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """MinHash: signature[i] = min over shingles of xxhash64(shingle, i).
+    One explode + one groupBy; the num_hashes dimension lives inside an
+    array column (no row blowup)."""
+    sh = _shingles(docs, id_col, text_col, n)
+    hashed = sh.select(
+        "doc_id",
+        F.array(
+            *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+        ).alias("hs"),
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(F.element_at("hs", i + 1)).alias(f"h{i}") for i in range(num_hashes)]
+        ).alias("signature")
+    )
+    return agg
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 3, num_hashes: int = 64, bands: int = 16,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band chunks,
+    bucket = hash(band_id, chunk); docs sharing any bucket are candidates.
+    The only join is bucket-equi — candidate volume is bounded by bucket
+    sizes, never O(n²)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col)
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = buckets.withColumnsRenamed({"doc_id": "doc_a"})
+    b = buckets.withColumnsRenamed({"doc_id": "doc_b"})
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash: per token, each bit votes ±1 by xxhash64(token) bit;
+    fingerprint bit j = sign of vote sum. One explode + one groupBy with 64
+    conditional sums (all JVM-side)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), TOKEN_RX)).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long") * (2**j if j < 63 else -(2**63))).otherwise(0)
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dups = SimHash Hamming distance ≤ max_hamming. Candidate stage:
+    docs sharing any of 4 16-bit bands (pigeonhole: distance ≤ 3 ⇒ at least
+    one identical band); verify with bit_count(xor)."""
+    s = simhash(docs)
+    bands = s.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * 16)
+                        .bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.chunk")
+    a = bands.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sim_a"})
+    b = bands.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sim_b"})
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -55,12 +55,10 @@ def explode_spans(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "span_pos", "span.kind", "span.text", "span.media_ref")
 
 
-def extract_mentions(documents: DataFrame) -> DataFrame:
-    """E2: fact extraction over text spans + media attachment.
-
-    Returns MENTIONS_SCHEMA rows. Media spans become
-    (first-subject-of-doc, depictedIn, media_ref) mentions via a native
-    min_by aggregation + equi-join — no Python touches media rows."""
+def extract_fact_mentions(documents: DataFrame) -> DataFrame:
+    """E2 (stateless half): fact extraction over text spans only.
+    Pure explode + mapInPandas — safe under Structured Streaming append
+    mode (no aggregation, no join)."""
     exploded = explode_spans(documents)
     text_spans = exploded.filter(F.col("kind") == "text").select(
         "doc_id", "span_pos", "text"
@@ -110,7 +108,17 @@ def extract_mentions(documents: DataFrame) -> DataFrame:
                     {f.name: pd.Series(dtype="object") for f in MENTIONS_SCHEMA}
                 )
 
-    fact_mentions = text_spans.mapInPandas(extract, schema=MENTIONS_SCHEMA)
+    return text_spans.mapInPandas(extract, schema=MENTIONS_SCHEMA)
+
+
+def extract_mentions(documents: DataFrame) -> DataFrame:
+    """E2: fact extraction over text spans + media attachment.
+
+    Returns MENTIONS_SCHEMA rows. Media spans become
+    (first-subject-of-doc, depictedIn, media_ref) mentions via a native
+    min_by aggregation + equi-join — no Python touches media rows."""
+    exploded = explode_spans(documents)
+    fact_mentions = extract_fact_mentions(documents)
 
     # Media spans → attach to the doc's first extracted subject (min span
     # position, then min fact ordinal). min_by keeps this one hash-agg job.

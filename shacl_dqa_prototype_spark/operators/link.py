@@ -92,35 +92,31 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     )
 
     # Context evidence: unambiguous surfaces anchor the doc's entity set.
-    n_cands = Window.partitionBy("doc_id", "span_pos", "fact_idx", "role")
-    cands = cands.withColumn("n_cands", F.count("*").over(n_cands))
-    doc_entities = (
-        cands.filter(F.col("n_cands") == 1)
-        .select("doc_id", F.col("candidate").alias("ctx_entity"))
-        .distinct()
+    # Both context signals are WINDOW functions sharing one shuffle each:
+    #   n_cands    over (mention key)          — ambiguity of this mention
+    #   coherence  over (doc_id, candidate)    — does this candidate appear
+    #              unambiguously elsewhere in the doc? (replaces a
+    #              distinct+self-join — one shuffle instead of two)
+    n_cands_w = Window.partitionBy("doc_id", "span_pos", "fact_idx", "role")
+    cands = cands.withColumn("n_cands", F.count("*").over(n_cands_w))
+    coh_w = Window.partitionBy("doc_id", "candidate")
+    cands = cands.withColumn(
+        "coherence",
+        F.max((F.col("n_cands") == 1).cast("double")).over(coh_w),
     )
 
     # E4 — skew-safe popularity feature (two-phase salted distinct agg).
     popularity = salted_docs_per_entity(cands)
 
-    scored = (
-        cands.join(
-            doc_entities,
-            (cands.doc_id == doc_entities.doc_id)
-            & (cands.candidate == doc_entities.ctx_entity),
-            "left",
-        )
-        .drop(doc_entities.doc_id)
-        .withColumn("coherence", F.col("ctx_entity").isNotNull().cast("double"))
-        .join(F.broadcast(popularity), "candidate", "left")
-        .withColumn(
-            "score",
-            F.col("prior")
-            + 2.0 * F.col("coherence")
-            + 0.001 * F.log1p(F.coalesce("popularity", F.lit(0))),
-        )
+    scored = cands.join(F.broadcast(popularity), "candidate", "left").withColumn(
+        "score",
+        F.col("prior")
+        + 2.0 * F.col("coherence")
+        + 0.001 * F.log1p(F.coalesce("popularity", F.lit(0))),
     )
 
+    # top-1 per mention; same partition key as n_cands_w → Catalyst reuses
+    # the exchange instead of reshuffling.
     w = Window.partitionBy("doc_id", "span_pos", "fact_idx", "role").orderBy(
         F.desc("score"), F.asc("candidate")
     )
@@ -130,11 +126,10 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         .select("doc_id", "span_pos", "fact_idx", "role", "candidate")
     )
 
-    wide = (
-        linked.groupBy("doc_id", "span_pos", "fact_idx")
-        .pivot("role", ["s", "o"])
-        .agg(F.first("candidate"))
-        .withColumnsRenamed({"s": "s_iri", "o": "o_iri"})
+    # role → columns via conditional agg (one hash agg, no pivot 2nd pass)
+    wide = linked.groupBy("doc_id", "span_pos", "fact_idx").agg(
+        F.max(F.when(F.col("role") == "s", F.col("candidate"))).alias("s_iri"),
+        F.max(F.when(F.col("role") == "o", F.col("candidate"))).alias("o_iri"),
     )
     return mentions.join(wide, ["doc_id", "span_pos", "fact_idx"])
 

@@ -1,0 +1,99 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (clearly marked); everything Spark-side — schema,
+partition-preserving mapInPandas, Arrow batch shapes, metadata extraction —
+is real and tested. Swapping `_fake_decode` for PIL/librosa is the only
+production change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id string, span_pos int, kind string, media_ref string, payload binary"
+)
+FEATURES_SCHEMA = (
+    "doc_id string, span_pos int, kind string, media_ref string, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+
+
+def materialize_media(exploded: DataFrame) -> DataFrame:
+    """Media spans → binary payload column. In production the payload comes
+    from an object store via the ref; here a deterministic pseudo-payload
+    (sha256 stream of the ref) stands in, so sizes/shapes are stable."""
+    media = exploded.filter(F.col("kind") != "text")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                hashlib.sha256((r or "").encode()).digest() * 4  # 128 bytes
+                for r in pdf["media_ref"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_pos": pdf["span_pos"].astype("int32"),
+                    "kind": pdf["kind"],
+                    "media_ref": pdf["media_ref"],
+                    "payload": payloads,
+                }
+            )
+
+    return media.select("doc_id", "span_pos", "kind", "media_ref").mapInPandas(
+        fetch, schema=MEDIA_SCHEMA
+    )
+
+
+def _fake_decode(kind: str, payload: bytes) -> tuple[int, int, int, list[float]]:
+    """STUB decode — deterministic stand-in for PIL/ffmpeg/librosa.
+    Returns (width, height, n_frames, feature[8]). Real decode would parse
+    the payload; the fake derives stable values from its digest."""
+    d = hashlib.sha256(payload or b"").digest()
+    width = 64 + d[0] % 192
+    height = 64 + d[1] % 192
+    n_frames = 1 if kind == "image" else 1 + d[2] % 300
+    feature = [(b - 128) / 128.0 for b in d[:8]]
+    return width, height, n_frames, feature
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Batched decode/feature-extract over Arrow batches (mapInPandas).
+    Partitioning is preserved — no shuffle between fetch and decode."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, nf, feat = _fake_decode(r["kind"], r["payload"])
+                rows.append(
+                    (r["doc_id"], int(r["span_pos"]), r["kind"], r["media_ref"],
+                     w, h, nf, feat)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "span_pos", "kind", "media_ref",
+                         "width", "height", "n_frames", "feature"],
+            )
+
+    return media.mapInPandas(decode, schema=FEATURES_SCHEMA)
+
+
+def frame_sample_plan(features: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plumbing for video: one row per sampled frame index
+    (native posexplode of a sequence — the decode of each frame would be a
+    second mapInPandas in production)."""
+    return features.filter(F.col("kind") == "video").select(
+        "doc_id", "media_ref",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -52,19 +52,28 @@ def run_construction(
         if resume and manifest.committed(name):
             resumed.append(name)
             return (reader or (lambda: spark.read.parquet(path)))()
-        df = compute()
+        # Manifest counters ride the write job via observe() — zero extra
+        # actions per stage (a per-stage count() would double the job count).
+        from pyspark.sql import Observation
+
+        obs = Observation(f"stage:{name}")
+        df = compute().observe(obs, F.count(F.lit(1)).alias("rows"))
         if writer:
             writer(df)
         else:
             df.write.mode("overwrite").parquet(path)
-        out = (reader or (lambda: spark.read.parquet(path)))()
-        n = out.count()
-        manifest.commit(name, rows=n, partitions=out.rdd.getNumPartitions(),
+        metrics = obs.get
+        # partition count from the committed files — pure metadata, no job
+        n_parts = sum(
+            1 for root, _, files in os.walk(path)
+            for f in files if f.endswith(".parquet")
+        )
+        manifest.commit(name, rows=metrics["rows"] or 0, partitions=n_parts,
                         payload={"path": path})
         run.append(name)
         if stop_after == name:
             raise InterruptedError(f"simulated crash after stage {name}")
-        return out
+        return (reader or (lambda: spark.read.parquet(path)))()
 
     mentions_path = os.path.join(workdir, "mentions.parquet")
     linked_path = os.path.join(workdir, "linked_triples.parquet")

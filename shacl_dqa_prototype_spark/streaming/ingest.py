@@ -1,0 +1,69 @@
+"""Structured Streaming ingest: new document files → incremental triple
+extraction appended to the triple sink.
+
+The reference is batch-only (SURVEY.md §2F), so this is a new-engine
+capability: the same extraction plan (explode + vectorized pandas UDF)
+runs unchanged under readStream — Spark's incremental planner handles
+exactly-once file tracking via the checkpoint dir, which complements the
+batch manifest (E7) for continuous corpora.
+
+Linking/CC stay batch (they need global state); the streaming leg lands
+*candidate* triples with surface forms, and the batch pipeline
+periodically folds them in. This mirrors production lambda designs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from shacl_dqa_prototype_spark.operators.extract import extract_fact_mentions
+from shacl_dqa_prototype_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+
+def start_incremental_extraction(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """documents stream → mention extraction → append parquet.
+
+    available_now=True drains the current backlog and stops (test/batch
+    catch-up mode); False runs continuously."""
+    docs = stream_documents(spark, input_dir)
+    mentions = extract_fact_mentions(docs)
+    writer = (
+        mentions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_doc_counts(
+    spark: SparkSession, input_dir: str, window: str = "1 minute"
+) -> DataFrame:
+    """Windowed per-source counts with a watermark — the late-data pattern
+    for monitoring an ingest feed (returns a streaming DF; caller attaches
+    a sink)."""
+    docs = stream_documents(spark, input_dir)
+    with_ts = docs.withColumn("ingest_ts", F.current_timestamp())
+    return (
+        with_ts.withWatermark("ingest_ts", "2 minutes")
+        .groupBy(F.window("ingest_ts", window))
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1,0 +1,131 @@
+"""Training-data op tests: dedup, similarity, text stats, multimodal
+plumbing, streaming ingest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_dqa_prototype_spark.operators import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "The quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "Completely different content about spark shuffle partitions and joins"),
+    (5, "el la de texto corto en espanol para la prueba de idioma y el final"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["min_doc_id"] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates(docs):
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_candidates(docs, n=3).collect()}
+    assert (1, 2) in cands      # identical docs always collide
+    assert (1, 4) not in cands  # unrelated docs shouldn't
+
+
+def test_simhash_near_duplicates(docs):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert s[1] == s[2]
+    nd = {(r["doc_a"], r["doc_b"]): r["hamming"]
+          for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()}
+    assert nd[(1, 2)] == 0
+    assert (1, 3) in nd
+
+
+def test_cosine_topk(spark):
+    rows = [(i, [1.0, 0.0] if i < 3 else [0.0, 1.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert all(r["cosine"] == pytest.approx(1.0) for r in top)
+
+
+def test_ann_and_near_dups(spark):
+    import math
+    rows = []
+    for i in range(40):
+        ang = (i % 8) / 8.0 * 2 * math.pi
+        rows.append((i, [math.cos(ang) + (i // 8) * 1e-4, math.sin(ang)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    res = similarity.ann_topk(emb, [1.0, 0.0], k=5, n_planes=6)
+    ids = [r["vec_id"] for r in res.collect()]
+    assert len(ids) >= 1 and all(i % 8 == 0 for i in ids)
+    nd = similarity.embedding_near_duplicates(emb, threshold=0.999999, dim=2, n_planes=6)
+    got = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (0, 8) in got and all(a % 8 == b % 8 for a, b in got)
+
+
+def test_token_count_and_quality(docs):
+    tc = {r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+          for r in textstats.token_count(docs).collect()}
+    assert tc[1][0] == 14
+    q = {r["doc_id"]: r for r in textstats.quality_score(docs).collect()}
+    assert q[1]["stopword_hits"] == 1  # presence count: only " the "
+    assert 0.0 <= q[4]["quality"] <= 1.0
+
+
+def test_language_id(docs):
+    langs = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(docs).collect()}
+    assert langs[1] == "en"
+    assert langs[5] == "es"
+
+
+def test_fingerprint_deterministic(spark, docs):
+    fp1 = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs).collect()}
+    fp2 = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(docs).collect()}
+    assert fp1 == fp2
+    assert fp1[1] == fp1[2] and fp1[1] != fp1[4]
+
+
+def test_multimodal_plumbing(spark):
+    from shacl_dqa_prototype_spark.datagen import GenConfig, generate_documents
+    from shacl_dqa_prototype_spark.operators.extract import explode_spans
+
+    docs = generate_documents(spark, GenConfig(n_docs=40, n_entities=10, media_frac=1.0))
+    media = multimodal.materialize_media(explode_spans(docs))
+    feats = multimodal.decode_features(media).cache()
+    n = feats.count()
+    assert n > 0
+    row = feats.first()
+    assert 64 <= row["width"] < 256 and len(row["feature"]) == 8
+    # image rows decode to exactly 1 frame
+    assert feats.filter((F.col("kind") == "image") & (F.col("n_frames") != 1)).count() == 0
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from shacl_dqa_prototype_spark.datagen import GenConfig, generate_documents
+    from shacl_dqa_prototype_spark.streaming.ingest import start_incremental_extraction
+
+    in_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    docs = generate_documents(spark, GenConfig(n_docs=50, n_entities=10))
+    docs.write.mode("overwrite").parquet(in_dir)
+    q = start_incremental_extraction(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir).count()
+    assert first > 0
+    # incremental: append more files; only the delta is processed
+    generate_documents(spark, GenConfig(n_docs=20, n_entities=10, seed=99)).write.mode(
+        "append").parquet(in_dir)
+    q2 = start_incremental_extraction(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() > first
