@@ -3,22 +3,21 @@
 north_star: "link mentions via broadcast candidate dictionary + salted
 hash-join disambiguation scoring".
 
-Plan shape (all native DataFrame ops, zero Python):
+Plan shape (all native DataFrame ops, zero Python), tuned so the big
+(mention-cardinality) data crosses the network exactly three times:
 
-  mentions ─┬─ subj surfaces ─┐
-            └─ obj  surfaces ─┴─> long format (doc_id, mention_key, surface)
-        ⋈ F.broadcast(dictionary) on surface          -- E3, no shuffle
-        → candidates (doc_id, mention_key, candidate, prior)
+  mentions → long format (role s/o; fact payload rides the s-rows)
+    ⋈ F.broadcast(dictionary ⊕ per-surface candidate counts)   -- E3,
+      candidate fan-out AND ambiguity degree in one broadcast lookup
+      (a per-mention count(*) window would cost a 4th shuffle)
+    → shuffle 1: coherence window over (doc_id, candidate) — does the
+      candidate appear unambiguously elsewhere in this doc?
+    → shuffle 2: top-1 row_number over the mention key
+    → shuffle 3: groupBy mention key → (s_iri, o_iri, payload) → triples
 
-  context  = unambiguous surfaces (exactly 1 candidate) per doc
-             → doc_entities(doc_id, entity)            -- semi evidence set
-  popularity = docs-per-entity computed with an explicit TWO-PHASE SALTED
-             distinct aggregate (hot entities appear in a large doc
-             fraction; a naive countDistinct(doc_id) groupBy(entity) puts
-             the whole hot key in one reducer) -- E4 skew mitigation
-  score    = prior + 2·coherence + 0.001·log1p(popularity)
-  top-1    = row_number() over (mention_key) ordered by score desc,
-             candidate asc (deterministic tie-break)
+  popularity = docs-per-entity via an explicit TWO-PHASE SALTED distinct
+  aggregate -- E4 skew mitigation: the hot entity's rows spread over
+  n_salts reducers before the final tiny merge; result is broadcast back.
 
 Surfaces missing from the dictionary pass through as mint-IRI fallbacks so
 recall never silently drops rows.
@@ -33,22 +32,21 @@ from shacl_dqa_prototype_spark.datagen import EX, P_DEPICTED_IN
 
 MINT_NS = f"{EX}mint/"
 
+_KEY = ["doc_id", "span_pos", "fact_idx"]
+_PAYLOAD = ["pred", "obj_literal", "obj_dtype", "obj_lang"]
+
 
 def _surface_long(mentions: DataFrame) -> DataFrame:
-    """Both mention roles in one long DF keyed by (doc_id, span_pos,
-    fact_idx, role)."""
+    """Both mention roles in one long DF; fact payload carried on the
+    's' rows (NULL on 'o' rows) so no join-back is needed later."""
     subj = mentions.select(
-        "doc_id", "span_pos", "fact_idx",
-        F.lit("s").alias("role"),
-        F.col("subj_surface").alias("surface"),
+        *_KEY, F.lit("s").alias("role"),
+        F.col("subj_surface").alias("surface"), *_PAYLOAD,
     )
-    obj = (
-        mentions.filter(F.col("obj_surface").isNotNull())
-        .select(
-            "doc_id", "span_pos", "fact_idx",
-            F.lit("o").alias("role"),
-            F.col("obj_surface").alias("surface"),
-        )
+    obj = mentions.filter(F.col("obj_surface").isNotNull()).select(
+        *_KEY, F.lit("o").alias("role"),
+        F.col("obj_surface").alias("surface"),
+        *[F.lit(None).cast("string").alias(c) for c in _PAYLOAD],
     )
     return subj.unionByName(obj)
 
@@ -77,35 +75,34 @@ def salted_docs_per_entity(candidates: DataFrame, n_salts: int = 16) -> DataFram
 def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     """Resolve every mention surface to one entity IRI.
 
-    Returns mentions + columns (s_iri, o_iri): linked subject IRI always,
-    linked object IRI when the object was an entity mention."""
+    Returns one row per mention (doc_id, span_pos, fact_idx) with columns
+    (s_iri, o_iri, pred, obj_literal, obj_dtype, obj_lang)."""
     long = _surface_long(mentions)
 
+    # Ambiguity degree is a property of the SURFACE — precompute on the
+    # tiny dictionary and broadcast it with the candidates.
+    dict_w_counts = dictionary.withColumn(
+        "n_cands", F.count("*").over(Window.partitionBy("surface"))
+    )
+
     # E3 — candidate generation: broadcast hash join, no shuffle.
-    cands = long.join(F.broadcast(dictionary), "surface", "left").select(
-        "doc_id", "span_pos", "fact_idx", "role", "surface",
+    cands = long.join(F.broadcast(dict_w_counts), "surface", "left").select(
+        *_KEY, "role", *_PAYLOAD,
         F.coalesce(
             "candidate",
             F.concat(F.lit(MINT_NS), F.sha2(F.col("surface"), 256).substr(1, 16)),
         ).alias("candidate"),
         F.coalesce("prior", F.lit(1.0)).alias("prior"),
+        F.coalesce("n_cands", F.lit(1)).alias("n_cands"),
     )
 
-    # Context evidence: unambiguous surfaces anchor the doc's entity set.
-    # Both context signals are WINDOW functions sharing one shuffle each:
-    #   n_cands    over (mention key)          — ambiguity of this mention
-    #   coherence  over (doc_id, candidate)    — does this candidate appear
-    #              unambiguously elsewhere in the doc? (replaces a
-    #              distinct+self-join — one shuffle instead of two)
-    n_cands_w = Window.partitionBy("doc_id", "span_pos", "fact_idx", "role")
-    cands = cands.withColumn("n_cands", F.count("*").over(n_cands_w))
+    # shuffle 1 — context coherence over (doc_id, candidate)
     coh_w = Window.partitionBy("doc_id", "candidate")
     cands = cands.withColumn(
-        "coherence",
-        F.max((F.col("n_cands") == 1).cast("double")).over(coh_w),
+        "coherence", F.max((F.col("n_cands") == 1).cast("double")).over(coh_w)
     )
 
-    # E4 — skew-safe popularity feature (two-phase salted distinct agg).
+    # E4 — skew-safe popularity feature (two small shuffles, broadcast back)
     popularity = salted_docs_per_entity(cands)
 
     scored = cands.join(F.broadcast(popularity), "candidate", "left").withColumn(
@@ -115,23 +112,23 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         + 0.001 * F.log1p(F.coalesce("popularity", F.lit(0))),
     )
 
-    # top-1 per mention; same partition key as n_cands_w → Catalyst reuses
-    # the exchange instead of reshuffling.
-    w = Window.partitionBy("doc_id", "span_pos", "fact_idx", "role").orderBy(
+    # shuffle 2 — deterministic top-1 per mention-role
+    w = Window.partitionBy(*_KEY, "role").orderBy(
         F.desc("score"), F.asc("candidate")
     )
     linked = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "span_pos", "fact_idx", "role", "candidate")
+        .select(*_KEY, "role", "candidate", *_PAYLOAD)
     )
 
-    # role → columns via conditional agg (one hash agg, no pivot 2nd pass)
-    wide = linked.groupBy("doc_id", "span_pos", "fact_idx").agg(
+    # shuffle 3 — reassemble roles + payload per mention (conditional agg;
+    # payload lives on the 's' row)
+    return linked.groupBy(*_KEY).agg(
         F.max(F.when(F.col("role") == "s", F.col("candidate"))).alias("s_iri"),
         F.max(F.when(F.col("role") == "o", F.col("candidate"))).alias("o_iri"),
+        *[F.max(F.when(F.col("role") == "s", F.col(c))).alias(c) for c in _PAYLOAD],
     )
-    return mentions.join(wide, ["doc_id", "span_pos", "fact_idx"])
 
 
 def mentions_to_triples(linked: DataFrame) -> DataFrame:

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Default 64MB advisory size coalesces mid-size shuffles below the
+        # core count, capping parallelism; 8MB keeps post-shuffle stages
+        # wide enough while still merging truly tiny partitions.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(8 * 1024 * 1024))
         # --- Arrow for all pandas-UDF exchanges (vectorized, zero per-row py) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

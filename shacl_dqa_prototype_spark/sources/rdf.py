@@ -1,0 +1,294 @@
+"""A1/A2 — RDF scans into the canonical triple schema.
+
+Three formats, matching the reference's ingest surface
+(/root/reference/utils.py:66-67, config graph_file_format ∈ ttl/nt/xml/n3):
+
+* N-Triples  — the scale path: line-oriented, so `spark.read.text` +
+  a vectorized regex parser in mapInPandas shreds terabytes in parallel.
+* Turtle     — driver-side reader for the small graphs the reference ships
+  (data fixtures, VoID metadata). Subset: @prefix, `a`, `;` `,`
+  continuations, IRIs, prefixed names, blank nodes, literals with
+  @lang / ^^datatype, bare integers/decimals/booleans.
+* RDF/XML    — driver-side reader for OWL vocabularies (A2). Handles typed
+  node elements, rdf:about/resource/ID/nodeID, nested property elements,
+  rdf:parseType="Collection" (OWL class expressions), xml:lang,
+  rdf:datatype.
+
+Driver-side parsers return plain row lists (vocab/metadata graphs are KB–MB
+— SURVEY.md §2A A2/A3); `spark.createDataFrame(rows, TRIPLES_SCHEMA)` lifts
+them when needed.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+# ---------------------------------------------------------------------------
+# N-Triples (distributed)
+# ---------------------------------------------------------------------------
+
+_NT_LINE = re.compile(
+    r"^\s*"
+    r"(?:<(?P<s_iri>[^>]*)>|(?P<s_bn>_:\S+))\s+"
+    r"<(?P<p>[^>]*)>\s+"
+    r"(?:<(?P<o_iri>[^>]*)>|(?P<o_bn>_:\S+)|"
+    r'"(?P<o_lit>(?:[^"\\]|\\.)*)"'
+    r"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dtype>[^>]*)>)?)"
+    r"\s*\.\s*$"
+)
+
+_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
+
+
+def _unescape(lit: str) -> str:
+    return re.sub(r"\\.", lambda m: _ESCAPES.get(m.group(0), m.group(0)), lit)
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.text → vectorized per-batch regex shredding. Each line is
+    independent, so this parallelizes to any file size."""
+    lines = spark.read.text(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ext = pdf["value"].str.extract(_NT_LINE)
+            mask = ext["p"].notna()
+            sub = ext[mask]
+            o_kind = pd.Series("literal", index=sub.index)
+            o_kind[sub["o_iri"].notna()] = "iri"
+            o_kind[sub["o_bn"].notna()] = "bnode"
+            o = sub["o_iri"].fillna(sub["o_bn"]).fillna(
+                sub["o_lit"].map(lambda x: _unescape(x) if isinstance(x, str) else x)
+            )
+            yield pd.DataFrame(
+                {
+                    "s": sub["s_iri"].fillna(sub["s_bn"]),
+                    "p": sub["p"],
+                    "o": o,
+                    "o_kind": o_kind,
+                    "o_dtype": sub["dtype"],
+                    "o_lang": sub["lang"],
+                }
+            )
+
+    return lines.mapInPandas(parse, schema=TRIPLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Turtle (driver-side subset)
+# ---------------------------------------------------------------------------
+
+_TTL_TOKEN = re.compile(
+    r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<prefix_decl>@prefix)
+  | (?P<iri><[^>]*>)
+  | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^\S+)?)
+  | (?P<bnode>_:[A-Za-z0-9_\-]+)
+  | (?P<punct>[;,.\[\]])
+  | (?P<kw_a>\ba\b)
+  | (?P<num>[+-]?[0-9]+(?:\.[0-9]+)?)
+  | (?P<bool>\btrue\b|\bfalse\b)
+  | (?P<pname>[A-Za-z_][\w\-.]*:(?:[\w\-%.]*[\w\-%])?)
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_turtle(text: str) -> list[tuple]:
+    """Minimal Turtle → triple rows (s, p, o, o_kind, o_dtype, o_lang)."""
+    prefixes: dict[str, str] = {}
+    rows: list[tuple] = []
+    tokens: list[tuple[str, str]] = [
+        (m.lastgroup, m.group(0))
+        for m in _TTL_TOKEN.finditer(text)
+        if m.lastgroup != "comment"
+    ]
+    i = 0
+
+    def expand(kind: str, tok: str):
+        """→ (lexical, o_kind, dtype, lang)"""
+        if kind == "iri":
+            return tok[1:-1], "iri", None, None
+        if kind == "bnode":
+            return tok, "bnode", None, None
+        if kind == "kw_a":
+            return f"{RDF_NS}type", "iri", None, None
+        if kind == "pname":
+            pfx, local = tok.split(":", 1)
+            if pfx not in prefixes:
+                raise ValueError(f"unknown prefix {pfx!r}")
+            return prefixes[pfx] + local, "iri", None, None
+        if kind == "num":
+            dt = f"{XSD_NS}decimal" if "." in tok else f"{XSD_NS}integer"
+            return tok, "literal", dt, None
+        if kind == "bool":
+            return tok, "literal", f"{XSD_NS}boolean", None
+        if kind == "literal":
+            m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9\-]+)|\^\^(\S+))?$', tok)
+            lex = _unescape(m.group(1))
+            lang, dt_tok = m.group(2), m.group(3)
+            dt = None
+            if dt_tok:
+                dt = (dt_tok[1:-1] if dt_tok.startswith("<")
+                      else expand("pname", dt_tok)[0])
+            if lang:
+                dt = f"{RDF_NS}langString"
+            return lex, "literal", dt, lang
+        raise ValueError(f"unexpected token {kind}:{tok}")
+
+    while i < len(tokens):
+        kind, tok = tokens[i]
+        if kind == "prefix_decl":
+            pfx = tokens[i + 1][1].rstrip(":").split(":")[0]
+            prefixes[pfx] = tokens[i + 2][1][1:-1]
+            assert tokens[i + 3][1] == "."
+            i += 4
+            continue
+        subj, _, _, _ = expand(kind, tok)
+        i += 1
+        while True:  # predicate-object lists
+            pred, _, _, _ = expand(*tokens[i])
+            i += 1
+            while True:  # object lists
+                o, ok, dt, lang = expand(*tokens[i])
+                rows.append((subj, pred, o, ok, dt, lang))
+                i += 1
+                if tokens[i][1] == ",":
+                    i += 1
+                    continue
+                break
+            if tokens[i][1] == ";":
+                i += 1
+                # "; ." tolerated
+                if tokens[i][1] == ".":
+                    i += 1
+                    break
+                continue
+            if tokens[i][1] == ".":
+                i += 1
+                break
+            raise ValueError(f"expected ;,. got {tokens[i]}")
+        continue
+    return rows
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    with open(path, encoding="utf-8") as f:
+        rows = parse_turtle(f.read())
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML (driver-side, for OWL vocabularies — A2)
+# ---------------------------------------------------------------------------
+
+def _tag_iri(tag: str) -> str:
+    # ElementTree tags look like '{namespace}local'
+    return tag[1:].replace("}", "", 1) if tag.startswith("{") else tag
+
+
+def parse_rdfxml(text: str) -> list[tuple]:
+    root = ET.fromstring(text)
+    rows: list[tuple] = []
+    counter = [0]
+    base = root.attrib.get("{http://www.w3.org/XML/1998/namespace}base", "")
+
+    def new_bnode() -> str:
+        counter[0] += 1
+        return f"_:genid{counter[0]}"
+
+    def resolve(ref: str) -> str:
+        if ref.startswith("#"):
+            return base + ref
+        return ref
+
+    def node_id(el: ET.Element) -> str:
+        about = el.attrib.get(f"{{{RDF_NS}}}about")
+        if about is not None:
+            return resolve(about)
+        rid = el.attrib.get(f"{{{RDF_NS}}}ID")
+        if rid is not None:
+            return resolve("#" + rid)
+        nid = el.attrib.get(f"{{{RDF_NS}}}nodeID")
+        if nid is not None:
+            return f"_:{nid}"
+        return new_bnode()
+
+    def walk_node(el: ET.Element) -> str:
+        subj = node_id(el)
+        kind = subj.startswith("_:") and "bnode" or "iri"
+        tag = _tag_iri(el.tag)
+        if tag != f"{RDF_NS}Description":
+            rows.append((subj, f"{RDF_NS}type", tag, "iri", None, None))
+        # property attributes (other than rdf: syntax attrs)
+        for k, v in el.attrib.items():
+            iri = _tag_iri(k) if k.startswith("{") else k
+            if iri.startswith(RDF_NS) or iri.startswith("http://www.w3.org/XML"):
+                continue
+            rows.append((subj, iri, v, "literal", None, None))
+        for prop_el in el:
+            pred = _tag_iri(prop_el.tag)
+            ptype = prop_el.attrib.get(f"{{{RDF_NS}}}parseType")
+            res = prop_el.attrib.get(f"{{{RDF_NS}}}resource")
+            pnid = prop_el.attrib.get(f"{{{RDF_NS}}}nodeID")
+            if ptype == "Collection":
+                items = [walk_node(c) for c in prop_el]
+                head = new_bnode() if items else f"{RDF_NS}nil"
+                rows.append((subj, pred, head, "bnode" if items else "iri",
+                             None, None))
+                cur = head
+                for j, item in enumerate(items):
+                    ik = "bnode" if item.startswith("_:") else "iri"
+                    rows.append((cur, f"{RDF_NS}first", item, ik, None, None))
+                    nxt = new_bnode() if j + 1 < len(items) else f"{RDF_NS}nil"
+                    rows.append((cur, f"{RDF_NS}rest", nxt,
+                                 "bnode" if j + 1 < len(items) else "iri",
+                                 None, None))
+                    cur = nxt
+            elif ptype == "Resource":
+                # anonymous node with nested property elements
+                inner = new_bnode()
+                rows.append((subj, pred, inner, "bnode", None, None))
+                fake = ET.Element(f"{{{RDF_NS}}}Description",
+                                  {f"{{{RDF_NS}}}nodeID": inner[2:]})
+                fake.extend(list(prop_el))
+                walk_node(fake)
+            elif res is not None:
+                rows.append((subj, pred, resolve(res), "iri", None, None))
+            elif pnid is not None:
+                rows.append((subj, pred, f"_:{pnid}", "bnode", None, None))
+            elif len(prop_el) > 0:
+                obj = walk_node(prop_el[0])
+                rows.append((subj, pred, obj,
+                             "bnode" if obj.startswith("_:") else "iri",
+                             None, None))
+            else:
+                dt = prop_el.attrib.get(f"{{{RDF_NS}}}datatype")
+                lang = prop_el.attrib.get(
+                    "{http://www.w3.org/XML/1998/namespace}lang")
+                if lang:
+                    dt = f"{RDF_NS}langString"
+                rows.append((subj, pred, prop_el.text or "", "literal",
+                             dt, lang))
+        return subj
+
+    for child in root:
+        walk_node(child)
+    return rows
+
+
+def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+    with open(path, encoding="utf-8") as f:
+        rows = parse_rdfxml(f.read())
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA)
