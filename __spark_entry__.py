@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").alias("n_events"))
     q["events_sessionize"] = events_sessionize
 
+    # --- extended coverage (remaining SURVEY.md §2 families) ---------------
+    from entry_ext import ext_queries
+
+    q.update(ext_queries())
     return q
 
 
@@ -584,4 +588,7 @@ def oracle_sql() -> dict[str, str]:
            count(*) AS n_events
     FROM y GROUP BY user_id, session_id"""
 
+    from entry_ext import ext_oracles
+
+    o.update(ext_oracles())
     return o

@@ -1,0 +1,710 @@
+"""Extension of the driver contract: queries()/oracle_sql() entries for the
+SURVEY.md §2 operator families not covered by the core set in
+__spark_entry__.py — the remaining C* constraint families (C1, C7-C22,
+C26, C28), metadata shapes C33-C36, vocabulary shapes C37-C40, profiling
+B8/B9, TBox merge B11, and the construction operators E1-E8 (span explode,
+pandas-UDF extraction, broadcast+salted linking, connected components,
+invariant) plus multimodal plumbing.
+
+Everything oracled runs the REAL engine operators on the Spark side; the
+DuckDB oracle re-derives the expected result from the raw parquet tables
+(or a shared VALUES table) independently.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shacl_dqa_prototype_spark.datagen import EX, P_LOCATED_IN
+from shacl_dqa_prototype_spark.functions.terms import (
+    OWL,
+    RDF,
+    RDFS,
+    RDFS_LABEL as RDFS_LABEL_IRI,
+)
+from shacl_dqa_prototype_spark.operators.connected_components import (
+    connected_components,
+)
+from shacl_dqa_prototype_spark.operators.extract import (
+    explode_spans,
+    extract_fact_mentions,
+)
+from shacl_dqa_prototype_spark.operators.invariant import invariant_violations
+from shacl_dqa_prototype_spark.operators.link import link_mentions, mentions_to_triples
+from shacl_dqa_prototype_spark.operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    materialize_media,
+)
+from shacl_dqa_prototype_spark.operators.similarity import embedding_near_duplicates
+from shacl_dqa_prototype_spark.plans.constraints import (
+    DQAConfig,
+    VocabTerm,
+    compile_data_constraints,
+)
+from shacl_dqa_prototype_spark.plans.dqa import run_data_dqa, run_metadata_dqa
+from shacl_dqa_prototype_spark.plans.profile import infer_namespace, profile_graph
+from shacl_dqa_prototype_spark.plans.vocab import tbox_merge_rows
+from shacl_dqa_prototype_spark.plans.vocab_shapes import (
+    compile_vocab_constraints,
+    score_vocab_plan,
+)
+
+MINT_NS = f"{EX}mint/"
+
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+RDFS_CLASS = f"{RDFS}Class"
+RDF_STATEMENT = f"{RDF}Statement"
+
+# ---------------------------------------------------------------------------
+# T2: second seeded triple view exercising the constraint families the core
+# view doesn't. Shared Spark-SQL/DuckDB text; all seeding is arithmetic.
+# ---------------------------------------------------------------------------
+
+# Part subject CASE — spliced into both the view and every oracle that
+# needs a part IRI, so the two engines cannot disagree on precedence.
+PART_S = """CASE WHEN p_partkey % 17 = 0 THEN concat('urn:d2:part?id=', p_partkey)
+     WHEN p_partkey % 19 = 0 THEN concat('_:bp', p_partkey)
+     WHEN p_partkey % 13 = 0 THEN concat('urn:d2:part/', p_partkey, repeat('x', 80))
+     ELSE concat('urn:d2:part/', p_partkey) END"""
+
+TRIPLES2_SQL = f"""
+SELECT DISTINCT * FROM (
+  SELECT {PART_S} AS s, 'rdf:type' AS p, 'urn:c2:Part' AS o,
+         'iri' AS o_kind, CAST(NULL AS STRING) AS o_dtype,
+         CAST(NULL AS STRING) AS o_lang
+  FROM part
+  UNION ALL SELECT {PART_S}, '{RDFS_LABEL_IRI}', p_name, 'literal', NULL,
+         CASE WHEN p_partkey % 2 = 0 THEN 'en' ELSE NULL END FROM part
+  UNION ALL SELECT {PART_S}, 'urn:p2:weight',
+         CASE WHEN p_partkey % 31 = 0 THEN concat('w', p_partkey)
+              ELSE concat(p_partkey, '.5') END,
+         'literal', '{XSD_DECIMAL}', NULL
+  FROM part WHERE p_partkey % 37 <> 0
+  UNION ALL SELECT {PART_S}, 'urn:p2:weight',
+         concat('urn:d2:w/', p_partkey), 'iri', NULL, NULL
+  FROM part WHERE p_partkey % 37 = 0
+  UNION ALL SELECT {PART_S}, 'urn:p2:oldCode', concat('c', p_partkey),
+         'literal', NULL, NULL FROM part WHERE p_partkey % 23 = 0
+  UNION ALL SELECT concat('urn:d2:supp/', s_suppkey), 'rdf:type',
+         'urn:c2:Supplier', 'iri', NULL, NULL FROM supplier
+  UNION ALL SELECT concat('urn:d2:supp/', s_suppkey), 'rdf:type',
+         '{RDF_STATEMENT}', 'iri', NULL, NULL
+  FROM supplier WHERE s_suppkey % 7 = 0
+  UNION ALL SELECT concat('urn:d2:supp/', s_suppkey), 'rdf:type',
+         'urn:c2:Obsolete', 'iri', NULL, NULL
+  FROM supplier WHERE s_suppkey % 11 = 0
+  UNION ALL SELECT concat('urn:d2:supp/', s_suppkey), 'rdf:type',
+         'urn:c2:Ghost', 'iri', NULL, NULL
+  FROM supplier WHERE s_suppkey % 13 = 0
+  UNION ALL SELECT concat('urn:d2:supp/', s_suppkey), 'urn:p2:sameAs',
+         CASE WHEN s_suppkey % 4 = 0 THEN concat('urn:d2:supp/', s_suppkey + 1)
+              ELSE concat('http://ext.example/', s_suppkey) END,
+         'iri', NULL, NULL FROM supplier
+  UNION ALL SELECT concat('urn:d2:supp/', s_suppkey), 'urn:p2:weight',
+         concat(s_suppkey, '.5'), 'literal', '{XSD_DECIMAL}', NULL
+  FROM supplier WHERE s_suppkey % 8 = 0
+  UNION ALL SELECT concat('urn:d2:supp/', s_suppkey), 'urn:p2:madeBy',
+         CASE WHEN s_suppkey % 9 = 0 THEN concat('maker ', s_suppkey)
+              ELSE concat('urn:d2:maker/', s_nationkey) END,
+         CASE WHEN s_suppkey % 9 = 0 THEN 'literal' ELSE 'iri' END,
+         NULL, NULL FROM supplier
+  UNION ALL SELECT concat('urn:d2:ex#', r_regionkey), 'rdf:type',
+         '{RDFS_CLASS}', 'iri', NULL, NULL FROM region
+  UNION ALL SELECT concat('urn:d2:reg#', r_regionkey), 'rdf:type',
+         'urn:c2:Region', 'iri', NULL, NULL FROM region
+  UNION ALL SELECT concat('urn:d2:reg#', r_regionkey), 'urn:p2:ghostProp',
+         concat('g', r_regionkey), 'literal', NULL, NULL FROM region
+  UNION ALL SELECT concat('urn:d2:mc/', n_nationkey), 'urn:c2:Part',
+         concat('x', n_nationkey), 'literal', NULL, NULL FROM nation
+  UNION ALL SELECT concat('urn:d2:mp/', r_regionkey), 'rdf:type',
+         'urn:p2:weight', 'iri', NULL, NULL FROM region
+)
+"""
+
+ENTRY_VOCAB2 = [
+    VocabTerm("urn:c2:Part", "class"),
+    VocabTerm("urn:c2:Supplier", "class"),
+    VocabTerm("urn:c2:Region", "class"),
+    VocabTerm("urn:c2:Unused", "class"),
+    VocabTerm("urn:c2:Obsolete", "class", deprecated=True),
+    VocabTerm("urn:p2:madeBy", "object_property"),
+    VocabTerm("urn:p2:sameAs", "object_property"),
+    VocabTerm("urn:p2:weight", "datatype_property",
+              domain="urn:c2:Part", range=XSD_DECIMAL, range_kind="literal"),
+    VocabTerm("urn:p2:oldCode", "rdf_property", deprecated=True),
+]
+CFG2 = DQAConfig(
+    type_property="rdf:type",
+    labeling_property=RDFS_LABEL_IRI,
+    interlinking_property="urn:p2:sameAs",
+    base_uri="urn:d2:",
+    uris_max_length=80,
+)
+
+_T2_CACHE: dict[tuple[int, str], DataFrame] = {}
+_V2_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _register(spark: SparkSession, sf_dir: str) -> None:
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def _t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _T2_CACHE:
+        _register(spark, sf_dir)
+        _T2_CACHE[key] = spark.sql(TRIPLES2_SQL).cache()
+    return _T2_CACHE[key]
+
+
+def _violations2(spark: SparkSession, sf_dir: str, metric: str,
+                 with_item: bool = False) -> DataFrame:
+    """Real compiled constraint plan over T2, cached per session/sf."""
+    key = (id(spark), sf_dir)
+    if key not in _V2_CACHE:
+        plan = compile_data_constraints(_t2(spark, sf_dir), ENTRY_VOCAB2, [], CFG2)
+        _V2_CACHE[key] = plan.violations.cache()
+    v = _V2_CACHE[key].filter(F.col("metric") == metric)
+    cols = ["item", "focus"] if with_item else ["focus"]
+    return v.select(*cols).distinct()
+
+
+def _docs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Interleaved documents synthesized deterministically from the driver's flat
+# documents table (doc_id, text, lang, source, ...) — BASELINE.json
+# input_hint shape: (doc_id, spans array<struct<kind,text,media_ref,offset>>).
+# Every doc: span0 = text sentence; doc_id%3==0 adds an image span;
+# doc_id%5==0 adds an audio span. The oracle re-derives flat rows directly.
+# ---------------------------------------------------------------------------
+
+def _interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_flat(spark, sf_dir)
+    sentence = F.concat(F.lit("D"), F.col("doc_id"),
+                        F.lit(" is located in "), F.upper("source"), F.lit("."))
+    span = lambda kind, text, ref: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"), text.alias("text"), ref.alias("media_ref"),
+        F.lit(0).alias("offset"))
+    nulls = F.lit(None).cast("string")
+    raw = F.array(
+        span("text", sentence, nulls),
+        F.when(F.col("doc_id") % 3 == 0,
+               span("image", nulls, F.concat(F.lit("img://"), F.col("doc_id")))),
+        F.when(F.col("doc_id") % 5 == 0,
+               span("audio", nulls, F.concat(F.lit("aud://"), F.col("doc_id")))),
+        F.when(F.col("doc_id") % 7 == 0,
+               span("video", nulls, F.concat(F.lit("vid://"), F.col("doc_id")))),
+    )
+    spans = F.transform(
+        F.filter(raw, lambda x: x.isNotNull()),
+        lambda x, i: F.struct(x["kind"].alias("kind"), x["text"].alias("text"),
+                              x["media_ref"].alias("media_ref"),
+                              i.cast("int").alias("offset")),
+    )
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    spans.alias("spans"))
+
+
+# ---------------------------------------------------------------------------
+# Metadata triple view (C33-C36) — shared VALUES table. Seeds one VoID
+# dataset that passes some shapes and fails others (incl. the
+# present-but-incorrect license case and the dcat sequence-path dump).
+# ---------------------------------------------------------------------------
+
+_DCT = "http://purl.org/dc/terms/"
+_FOAF = "http://xmlns.com/foaf/0.1/"
+_VOID = "http://rdfs.org/ns/void#"
+_DCAT = "http://www.w3.org/ns/dcat#"
+_RDF_TYPE = f"{RDF}type"
+
+METADATA_SQL = f"""
+SELECT * FROM (VALUES
+  ('urn:ds:1', '{_RDF_TYPE}', '{_VOID}Dataset', 'iri'),
+  ('urn:ds:1', '{_DCT}title', 'Test dataset', 'literal'),
+  ('urn:ds:1', '{_DCT}description', 'A seeded VoID description', 'literal'),
+  ('urn:ds:1', '{_FOAF}homepage', 'http://example.org/ds', 'iri'),
+  ('urn:ds:1', '{_VOID}exampleResource', 'urn:d2:part/1', 'iri'),
+  ('urn:ds:1', '{_VOID}uriSpace', 'urn:d2:', 'literal'),
+  ('urn:ds:1', '{_DCT}license', 'urn:lic:1', 'iri'),
+  ('urn:ds:1', '{_VOID}feature', 'http://www.w3.org/ns/formats/Turtle', 'iri'),
+  ('urn:ds:1', '{_DCAT}distribution', 'urn:dist:1', 'iri'),
+  ('urn:dist:1', '{_DCAT}downloadURL', 'http://example.org/dump.ttl', 'iri'),
+  ('urn:ds:1', '{_DCT}creator', 'Alice', 'literal')
+) AS t(s, p, o, o_kind)
+"""
+
+
+def _metadata_df(spark: SparkSession) -> DataFrame:
+    return spark.sql(METADATA_SQL).select(
+        "s", "p", "o", "o_kind",
+        F.lit(None).cast("string").alias("o_dtype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 TBox merge fixture — vocab triples as a Python row list (engine input)
+# with a hand-verified golden merge output in the oracle.
+# ---------------------------------------------------------------------------
+
+VOCAB3_ROWS: list[tuple] = [
+    ("urn:v3:Widget", _RDF_TYPE, f"{OWL}Class", "iri", None, None),
+    ("urn:v3:Widget", f"{RDFS}label", "Widget", "literal", None, None),
+    ("urn:v3:partOf", _RDF_TYPE, f"{OWL}ObjectProperty", "iri", None, None),
+    ("urn:v3:partOf", f"{RDFS}domain", "urn:v3:Widget", "iri", None, None),
+    ("urn:v3:partOf", f"{RDFS}range", "urn:v3:Widget", "iri", None, None),
+    ("urn:v3:weight", _RDF_TYPE, f"{OWL}DatatypeProperty", "iri", None, None),
+    ("urn:v3:Gadget", f"{RDFS}subClassOf", "urn:v3:Widget", "iri", None, None),
+    ("urn:v3:ann", _RDF_TYPE, f"{OWL}AnnotationProperty", "iri", None, None),
+    ("urn:v3:ann", f"{RDFS}domain", "urn:v3:Widget", "iri", None, None),
+    ("urn:v3:", _RDF_TYPE, f"{OWL}Ontology", "iri", None, None),
+    ("urn:v3:w1", _RDF_TYPE, "urn:v3:Widget", "iri", None, None),
+    ("urn:v3:Color", _RDF_TYPE, f"{RDFS}Datatype", "iri", None, None),
+]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- C-family constraints over T2 (real compiled plan) -----------------
+    for name, metric, with_item in [
+        ("shape2_external_uris", "UsageExternalURIEntities", False),   # C1
+        ("shape2_hash_uris_exempt", "UsageHashURIsEntities", False),   # C2+X
+        ("shape2_schema_completeness", "SchemaCompletenessClassUsage", False),  # C7
+        ("shape2_uris_length", "URIsLengthEntities", False),           # C8
+        ("shape2_uris_params", "URIsParametersEntities", False),       # C9
+        ("shape2_prolix", "ProlixFeatures", False),                    # C10
+        ("shape2_langs_labels", "DifferentLanguagesLabelsEntities", False),  # C11
+        ("shape2_bnodes", "SelfDescriptiveFormat", False),             # C13/C15
+        ("shape2_selfdescr_props", "SelfDescriptiveFormatProperties", True),  # C14
+        ("shape2_misplaced_props", "MisplacedProperties", False),      # C17
+        ("shape2_misplaced_classes", "MisplacedClasses", False),       # C18
+        ("shape2_misuse_obj", "MisuseOwlObjectProperties", True),      # C19
+        ("shape2_misuse_dt", "MisuseOwlDatatypeProperties", True),     # C20
+        ("shape2_deprecated_classes", "DeprecatedClasses", False),     # C21
+        ("shape2_deprecated_props", "DeprecatedProperties", True),     # C22
+        ("shape2_correct_domain", "CorrectDomain", False),             # C26
+        ("shape2_correct_range_dt", "CorrectRange", False),            # C28
+    ]:
+        q[name] = (lambda m, wi: lambda s, d: _violations2(s, d, m, wi))(
+            metric, with_item)
+
+    # --- D4 meta rollups over T2 ------------------------------------------
+    def dqa2_meta(spark, sf_dir):
+        rep = run_data_dqa(_t2(spark, sf_dir), ENTRY_VOCAB2, [], CFG2)
+        return rep.filter(
+            (F.col("score_kind") == "meta")
+            & F.col("metric").isin(
+                "MisuseOwlObjectProperties", "MisuseOwlDatatypeProperties",
+                "CorrectDomain", "CorrectRange", "DeprecatedProperties")
+        ).select("metric", F.round("measure", 6).alias("measure"),
+                 "num_violations")
+    q["dqa2_meta_rollup"] = dqa2_meta
+
+    # --- B8/B9 profiling ---------------------------------------------------
+    def entity_features(spark, sf_dir):
+        import __spark_entry__ as core
+        prof = profile_graph(core._triples(spark, sf_dir), "rdf:type",
+                             RDFS_LABEL_IRI, "urn:p:description",
+                             "urn:p:follows")
+        return spark.createDataFrame(
+            [(prof.num_entities_interlinking, prof.num_entities_label,
+              prof.num_entities_description)],
+            "n_interlinking long, n_label long, n_description long")
+    q["profile_entity_features"] = entity_features
+
+    def namespace(spark, sf_dir):
+        ns = infer_namespace(_t2(spark, sf_dir))
+        return spark.createDataFrame([(ns,)], "ns string")
+    q["profile_namespace"] = namespace
+
+    # --- B11 TBox merge ----------------------------------------------------
+    def tbox_merge(spark, sf_dir):
+        merged = tbox_merge_rows(VOCAB3_ROWS, ["urn:v3:Widget"])
+        return spark.createDataFrame(
+            [(s, p, o) for (s, p, o, *_r) in merged], "s string, p string, o string"
+        ).distinct()
+    q["tbox_merge"] = tbox_merge
+
+    # --- C33-C36 metadata shapes ------------------------------------------
+    def metadata_dqa(spark, sf_dir):
+        rep = run_metadata_dqa(spark, _metadata_df(spark))
+        return rep.select("metric", F.col("measure").cast("double"))
+    q["metadata_dqa"] = metadata_dqa
+
+    # --- C37-C40 vocabulary shapes ----------------------------------------
+    def vocab_dqa(spark, sf_dir):
+        T2 = _t2(spark, sf_dir)
+        used_classes = {r["o"] for r in
+                        T2.filter(F.col("p") == "rdf:type").select("o").distinct().collect()}
+        used_props = {r["p"] for r in T2.select("p").distinct().collect()}
+        c2_terms = [t for t in ENTRY_VOCAB2 if t.term.startswith("urn:c2:")]
+        p2_terms = [t for t in ENTRY_VOCAB2 if t.term.startswith("urn:p2:")]
+        plan_c2 = compile_vocab_constraints(
+            spark, "c2", "urn:c2:", c2_terms,
+            {"urn:c2:Part": True, "urn:c2:Supplier": True},
+            used_classes, used_props)
+        plan_p2 = compile_vocab_constraints(
+            spark, "p2", "urn:p2:", p2_terms,
+            {"urn:p2:madeBy": True, "urn:p2:weight": True},
+            used_classes, used_props)
+        rep_c2 = score_vocab_plan(spark, "c2", plan_c2, n_classes=5, n_properties=0)
+        rep_p2 = score_vocab_plan(spark, "p2", plan_p2, n_classes=0, n_properties=4)
+        return rep_c2.unionByName(rep_p2).select(
+            "target", "metric", "item",
+            F.round("measure", 6).alias("measure"), "num_violations")
+    q["vocab_shapes_dqa"] = vocab_dqa
+
+    # --- E1/E8 span explode + invariant -----------------------------------
+    def span_explode(spark, sf_dir):
+        return explode_spans(_interleaved(spark, sf_dir)).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "span_pos", "kind", "text", "media_ref")
+    q["kg_span_explode"] = span_explode
+
+    def span_invariant(spark, sf_dir):
+        docs = _interleaved(spark, sf_dir)
+        bad = invariant_violations(docs, explode_spans(docs))
+        return spark.createDataFrame(
+            [(docs.count(), bad.count())], "n_docs long, n_bad long")
+    q["kg_span_invariant"] = span_invariant
+
+    # --- E2 extraction (pandas-UDF path) ----------------------------------
+    def extract(spark, sf_dir):
+        m = extract_fact_mentions(_interleaved(spark, sf_dir))
+        return m.select(F.col("doc_id").cast("long").alias("doc_id"),
+                        "subj_surface", "pred", "obj_surface")
+    q["kg_extract_mentions"] = extract
+
+    # --- E3/E4 linking (broadcast dict + disambiguation + reassembly) ------
+    def link(spark, sf_dir):
+        d = _docs_flat(spark, sf_dir)
+        dictionary = d.select(
+            F.upper("source").alias("surface"),
+            F.concat(F.lit("urn:src:"), F.col("source")).alias("candidate"),
+            F.lit(1.0).alias("prior"),
+        ).distinct()
+        mentions = extract_fact_mentions(_interleaved(spark, sf_dir))
+        triples = mentions_to_triples(link_mentions(mentions, dictionary))
+        return triples.select("s", "p", "o", "o_kind")
+    q["kg_link_entities"] = link
+
+    # --- E5 connected components (large-star/small-star) -------------------
+    def cc(spark, sf_dir):
+        d = _docs_flat(spark, sf_dir)
+        max_id = d.agg(F.max("doc_id")).first()[0]
+        node = lambda c: F.concat(F.lit("n"), F.lpad(c.cast("string"), 6, "0"))  # noqa: E731
+        edges = (
+            d.filter((F.col("doc_id") % 8 != 7) & (F.col("doc_id") != max_id))
+            .select(node(F.col("doc_id")).alias("src"),
+                    node(F.col("doc_id") + 1).alias("dst"))
+        )
+        return connected_components(edges)
+    q["kg_connected_components"] = cc
+
+    # --- multimodal plumbing (decode is a deterministic stub) --------------
+    q["kg_media_features"] = lambda s, d: decode_features(
+        materialize_media(explode_spans(_interleaved(s, d)))
+    ).select("doc_id", "span_pos", "kind", "media_ref",
+             "width", "height", "n_frames")
+    q["kg_frame_sample"] = lambda s, d: frame_sample_plan(
+        decode_features(materialize_media(explode_spans(_interleaved(s, d)))),
+        every_n=60)
+
+    # --- embedding-cosine near-dup (LSH candidate + exact verify) ----------
+    def emb_neardup(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        dim = len(emb.first()["embedding"])
+        return embedding_near_duplicates(emb, threshold=0.35, dim=dim,
+                                         n_planes=6).select(
+            "id_a", "id_b", F.round("cosine", 3).alias("cosine"))
+    q["dedup_embedding_neardup"] = emb_neardup
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def ext_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["shape2_external_uris"] = """
+    SELECT DISTINCT concat('urn:d2:supp/', s_suppkey) AS focus
+    FROM supplier WHERE s_suppkey % 4 = 0"""
+
+    o["shape2_hash_uris_exempt"] = """
+    SELECT concat('urn:d2:reg#', r_regionkey) AS focus FROM region"""
+
+    o["shape2_schema_completeness"] = """
+    SELECT 'urn:c2:Unused' AS focus"""
+
+    o["shape2_uris_length"] = f"""
+    SELECT DISTINCT {PART_S} AS focus FROM part
+    WHERE p_partkey % 13 = 0 AND p_partkey % 17 <> 0 AND p_partkey % 19 <> 0"""
+
+    o["shape2_uris_params"] = f"""
+    SELECT DISTINCT {PART_S} AS focus FROM part WHERE p_partkey % 17 = 0"""
+
+    o["shape2_prolix"] = """
+    SELECT DISTINCT concat('urn:d2:supp/', s_suppkey) AS focus
+    FROM supplier WHERE s_suppkey % 7 = 0"""
+
+    o["shape2_langs_labels"] = f"""
+    SELECT DISTINCT {PART_S} AS focus FROM part WHERE p_partkey % 2 <> 0"""
+
+    o["shape2_bnodes"] = f"""
+    SELECT DISTINCT {PART_S} AS focus FROM part
+    WHERE p_partkey % 19 = 0 AND p_partkey % 17 <> 0"""
+
+    o["shape2_selfdescr_props"] = f"""
+    SELECT DISTINCT * FROM (
+      SELECT '{RDFS_LABEL_IRI}' AS item, p_name AS focus FROM part
+      UNION ALL SELECT 'urn:p2:weight',
+        CASE WHEN p_partkey % 31 = 0 THEN concat('w', p_partkey)
+             ELSE concat(p_partkey, '.5') END
+      FROM part WHERE p_partkey % 37 <> 0
+      UNION ALL SELECT 'urn:p2:oldCode', concat('c', p_partkey)
+      FROM part WHERE p_partkey % 23 = 0
+      UNION ALL SELECT 'urn:p2:weight', concat(s_suppkey, '.5')
+      FROM supplier WHERE s_suppkey % 8 = 0
+      UNION ALL SELECT 'urn:p2:madeBy', concat('maker ', s_suppkey)
+      FROM supplier WHERE s_suppkey % 9 = 0
+      UNION ALL SELECT 'urn:p2:ghostProp', concat('g', r_regionkey) FROM region
+      UNION ALL SELECT 'urn:c2:Part', concat('x', n_nationkey) FROM nation
+    )"""
+
+    o["shape2_misplaced_props"] = """
+    SELECT 'urn:p2:weight' AS focus"""
+
+    o["shape2_misplaced_classes"] = """
+    SELECT DISTINCT concat('urn:d2:mc/', n_nationkey) AS focus FROM nation"""
+
+    o["shape2_misuse_obj"] = """
+    SELECT DISTINCT 'urn:p2:madeBy' AS item,
+           concat('urn:d2:supp/', s_suppkey) AS focus
+    FROM supplier WHERE s_suppkey % 9 = 0"""
+
+    o["shape2_misuse_dt"] = f"""
+    SELECT DISTINCT 'urn:p2:weight' AS item, {PART_S} AS focus
+    FROM part WHERE p_partkey % 37 = 0"""
+
+    o["shape2_deprecated_classes"] = """
+    SELECT DISTINCT concat('urn:d2:supp/', s_suppkey) AS focus
+    FROM supplier WHERE s_suppkey % 11 = 0"""
+
+    o["shape2_deprecated_props"] = f"""
+    SELECT DISTINCT 'urn:p2:oldCode' AS item, {PART_S} AS focus
+    FROM part WHERE p_partkey % 23 = 0"""
+
+    o["shape2_correct_domain"] = """
+    SELECT DISTINCT concat('urn:d2:supp/', s_suppkey) AS focus
+    FROM supplier WHERE s_suppkey % 8 = 0"""
+
+    o["shape2_correct_range_dt"] = f"""
+    SELECT DISTINCT {PART_S} AS focus FROM part
+    WHERE p_partkey % 31 = 0 AND p_partkey % 37 <> 0
+    UNION
+    SELECT DISTINCT {PART_S} FROM part WHERE p_partkey % 37 = 0"""
+
+    # D4 meta rollups: per-family share of items with measure 1 + summed
+    # violation counts, derived from the same arithmetic seeds.
+    o["dqa2_meta_rollup"] = """
+    WITH
+    mo AS (SELECT count(DISTINCT s_suppkey) AS nv FROM supplier WHERE s_suppkey % 9 = 0),
+    md AS (SELECT count(DISTINCT p_partkey) AS nv FROM part WHERE p_partkey % 37 = 0),
+    cd AS (SELECT count(DISTINCT s_suppkey) AS nv FROM supplier WHERE s_suppkey % 8 = 0),
+    cr AS (SELECT count(DISTINCT p_partkey) AS nv FROM part
+           WHERE (p_partkey % 31 = 0 AND p_partkey % 37 <> 0) OR p_partkey % 37 = 0),
+    dp AS (SELECT count(DISTINCT p_partkey) AS nv FROM part WHERE p_partkey % 23 = 0)
+    SELECT 'MisuseOwlObjectProperties' AS metric, CAST(0.5 AS DOUBLE) AS measure,
+           (SELECT nv FROM mo) AS num_violations
+    UNION ALL SELECT 'MisuseOwlDatatypeProperties', 0.0, (SELECT nv FROM md)
+    UNION ALL SELECT 'CorrectDomain', 0.0, (SELECT nv FROM cd)
+    UNION ALL SELECT 'CorrectRange', 0.0, (SELECT nv FROM cr)
+    UNION ALL SELECT 'DeprecatedProperties', 0.0, (SELECT nv FROM dp)"""
+
+    o["profile_entity_features"] = """
+    SELECT (SELECT count(DISTINCT n_nationkey) FROM nation) AS n_interlinking,
+           (SELECT count(*) FROM (
+              SELECT concat('urn:cust:', c_custkey) AS s FROM customer
+              WHERE c_custkey % 2 = 0
+              UNION SELECT concat('urn:nation:', n_nationkey) FROM nation))
+           AS n_label,
+           0 AS n_description"""
+
+    o["profile_namespace"] = f"""
+    WITH triples2 AS ({TRIPLES2_SQL}),
+    ns AS (
+      SELECT regexp_extract(s, '^(.*[#/])', 1) AS ns FROM triples2
+      WHERE left(s, 2) <> '_:' AND regexp_extract(s, '^(.*[#/])', 1) <> ''
+    )
+    SELECT ns FROM ns GROUP BY ns ORDER BY count(*) DESC, ns LIMIT 1"""
+
+    # B11 golden merge output (hand-verified against utils.py:684-795
+    # semantics: whitelist predicates, excluded subjects, derived typing).
+    o["tbox_merge"] = f"""
+    SELECT * FROM (VALUES
+      ('urn:v3:Widget', '{_RDF_TYPE}', '{OWL}Class'),
+      ('urn:v3:partOf', '{_RDF_TYPE}', '{OWL}ObjectProperty'),
+      ('urn:v3:partOf', '{RDFS}domain', 'urn:v3:Widget'),
+      ('urn:v3:partOf', '{RDFS}range', 'urn:v3:Widget'),
+      ('urn:v3:weight', '{_RDF_TYPE}', '{OWL}DatatypeProperty'),
+      ('urn:v3:Gadget', '{RDFS}subClassOf', 'urn:v3:Widget'),
+      ('urn:v3:w1', '{_RDF_TYPE}', 'urn:v3:Widget'),
+      ('urn:v3:Color', '{_RDF_TYPE}', '{RDFS}Datatype'),
+      ('urn:v3:Widget', '{_RDF_TYPE}', '{RDFS}Class'),
+      ('urn:v3:partOf', '{_RDF_TYPE}', '{RDF}Property'),
+      ('urn:v3:weight', '{_RDF_TYPE}', '{RDF}Property'),
+      ('urn:v3:Gadget', '{_RDF_TYPE}', '{RDFS}Class'),
+      ('urn:v3:w1', '{_RDF_TYPE}', '{OWL}NamedIndividual'),
+      ('urn:v3:Color', '{_RDF_TYPE}', '{RDFS}Class')
+    ) AS t(s, p, o)"""
+
+    # C33-C36: each measure re-derived from the shared VALUES table with
+    # the shape semantics (minCount/kind/class/sh:in/sequence path).
+    o["metadata_dqa"] = f"""
+    WITH md AS ({METADATA_SQL}),
+    ds AS (SELECT s FROM md WHERE p = '{_RDF_TYPE}' AND o = '{_VOID}Dataset')
+    SELECT 'PresenceMetadata' AS metric, CAST(CASE WHEN
+        EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}title' AND s IN (SELECT s FROM ds))
+        AND EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}description' AND s IN (SELECT s FROM ds))
+        AND EXISTS(SELECT 1 FROM md WHERE p = '{_FOAF}homepage' AND s IN (SELECT s FROM ds))
+        AND NOT EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}title' AND o_kind <> 'literal' AND s IN (SELECT s FROM ds))
+        AND NOT EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}description' AND o_kind <> 'literal' AND s IN (SELECT s FROM ds))
+        AND NOT EXISTS(SELECT 1 FROM md WHERE p = '{_FOAF}homepage' AND o_kind <> 'iri' AND s IN (SELECT s FROM ds))
+        THEN 1.0 ELSE 0.0 END AS DOUBLE) AS measure
+    UNION ALL SELECT 'ExemplaryResources', CASE WHEN
+        EXISTS(SELECT 1 FROM md WHERE p = '{_VOID}exampleResource') THEN 1.0 ELSE 0.0 END
+    UNION ALL SELECT 'VocabularyExistence', CASE WHEN
+        EXISTS(SELECT 1 FROM md WHERE p = '{_VOID}vocabulary') THEN 1.0 ELSE 0.0 END
+    UNION ALL SELECT 'URIRegexPressence', CASE WHEN
+        EXISTS(SELECT 1 FROM md WHERE p = '{_VOID}uriRegexPattern') THEN 1.0 ELSE 0.0 END
+    UNION ALL SELECT 'URISpacePressence', CASE WHEN
+        EXISTS(SELECT 1 FROM md WHERE p = '{_VOID}uriSpace')
+        AND NOT EXISTS(SELECT 1 FROM md WHERE p = '{_VOID}uriSpace' AND o_kind <> 'literal')
+        THEN 1.0 ELSE 0.0 END
+    UNION ALL SELECT 'MachineReadableLicense', CASE WHEN
+        EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}license')
+        AND NOT EXISTS(SELECT 1 FROM md lic WHERE lic.p = '{_DCT}license'
+             AND NOT EXISTS(SELECT 1 FROM md t WHERE t.s = lic.o
+                  AND t.p = '{_RDF_TYPE}' AND t.o = '{_DCT}LicenseDocument'))
+        THEN 1.0 ELSE 0.0 END
+    UNION ALL SELECT 'SerializationFormats', CASE WHEN
+        (SELECT count(*) FROM md WHERE p = '{_VOID}feature') BETWEEN 1 AND 5
+        AND NOT EXISTS(SELECT 1 FROM md WHERE p = '{_VOID}feature'
+             AND o NOT IN ('http://www.w3.org/ns/formats/N3',
+                           'http://www.w3.org/ns/formats/N-Triples',
+                           'http://www.w3.org/ns/formats/RDF_XML',
+                           'http://www.w3.org/ns/formats/RDFa',
+                           'http://www.w3.org/ns/formats/Turtle'))
+        THEN 1.0 ELSE 0.0 END
+    UNION ALL SELECT 'AvailabilityDump', CASE WHEN
+        EXISTS(SELECT 1 FROM md WHERE p = '{_VOID}dataDump')
+        OR EXISTS(SELECT 1 FROM md d JOIN md u ON u.s = d.o
+                  WHERE d.p = '{_DCAT}distribution' AND u.p = '{_DCAT}downloadURL')
+        THEN 1.0 ELSE 0.0 END
+    UNION ALL SELECT 'AuthenticityOfDataset', CASE WHEN
+        (EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}source')
+         OR EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}provenance'))
+        AND (EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}contributor')
+         OR EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}creator')
+         OR EXISTS(SELECT 1 FROM md WHERE p = '{_DCT}publisher'))
+        THEN 1.0 ELSE 0.0 END"""
+
+    # C37-C40 golden (seeds are constants: Ghost class + ghostProp +
+    # misplaced-class predicate are the only undefined terms).
+    o["vocab_shapes_dqa"] = """
+    SELECT target, metric, item, CAST(m AS DOUBLE) AS measure,
+           CAST(nv AS BIGINT) AS num_violations
+    FROM (VALUES
+      ('vocab:c2', 'LabelForClasses', CAST(NULL AS VARCHAR), 0.4, CAST(3 AS BIGINT)),
+      ('vocab:c2', 'LabelForProperties', NULL, 1.0, 0),
+      ('vocab:c2', 'UndefinedClass', 'urn:c2:Ghost', 0.0, 1),
+      ('vocab:c2', 'UndefinedClass', 'urn:c2:Obsolete', 1.0, 0),
+      ('vocab:c2', 'UndefinedClass', 'urn:c2:Part', 1.0, 0),
+      ('vocab:c2', 'UndefinedClass', 'urn:c2:Region', 1.0, 0),
+      ('vocab:c2', 'UndefinedClass', 'urn:c2:Supplier', 1.0, 0),
+      ('vocab:c2', 'UndefinedProperty', 'urn:c2:Part', 0.0, 1),
+      ('vocab:c2', 'UndefinedClass', NULL, 0.8, 1),
+      ('vocab:c2', 'UndefinedProperty', NULL, 0.0, 1),
+      ('vocab:p2', 'LabelForClasses', NULL, 1.0, 0),
+      ('vocab:p2', 'LabelForProperties', NULL, 0.5, 2),
+      ('vocab:p2', 'UndefinedClass', 'urn:p2:weight', 0.0, 1),
+      ('vocab:p2', 'UndefinedClass', NULL, 0.0, 1),
+      ('vocab:p2', 'UndefinedProperty', 'urn:p2:ghostProp', 0.0, 1),
+      ('vocab:p2', 'UndefinedProperty', 'urn:p2:madeBy', 1.0, 0),
+      ('vocab:p2', 'UndefinedProperty', 'urn:p2:oldCode', 1.0, 0),
+      ('vocab:p2', 'UndefinedProperty', 'urn:p2:sameAs', 1.0, 0),
+      ('vocab:p2', 'UndefinedProperty', 'urn:p2:weight', 1.0, 0),
+      ('vocab:p2', 'UndefinedProperty', NULL, 0.8, 1)
+    ) AS t(target, metric, item, m, nv)"""
+
+    # E1: flat rows re-derived directly from the raw documents table.
+    o["kg_span_explode"] = """
+    SELECT doc_id, 0 AS span_pos, 'text' AS kind,
+           concat('D', doc_id, ' is located in ', upper(source), '.') AS text,
+           CAST(NULL AS VARCHAR) AS media_ref
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 1, 'image', NULL, concat('img://', doc_id)
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END, 'audio',
+           NULL, concat('aud://', doc_id)
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id,
+           1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END,
+           'video', NULL, concat('vid://', doc_id)
+    FROM documents WHERE doc_id % 7 = 0"""
+
+    o["kg_span_invariant"] = """
+    SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_bad FROM documents"""
+
+    o["kg_extract_mentions"] = f"""
+    SELECT doc_id, concat('D', doc_id) AS subj_surface,
+           '{P_LOCATED_IN}' AS pred, upper(source) AS obj_surface
+    FROM documents"""
+
+    # E3/E4: unlinked subject surfaces mint sha256-prefix IRIs; object
+    # surfaces resolve through the dictionary.
+    o["kg_link_entities"] = f"""
+    SELECT DISTINCT
+           concat('{MINT_NS}', substr(sha256(concat('D', doc_id)), 1, 16)) AS s,
+           '{P_LOCATED_IN}' AS p,
+           concat('urn:src:', source) AS o,
+           'iri' AS o_kind
+    FROM documents"""
+
+    # E5: chain edges within blocks of 8 → component root = doc_id - doc_id%8;
+    # the root itself has no mapping row (it is the representative).
+    o["kg_connected_components"] = """
+    SELECT concat('n', lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS node,
+           concat('n', lpad(CAST(doc_id - doc_id % 8 AS VARCHAR), 6, '0')) AS component
+    FROM documents
+    WHERE doc_id % 8 <> 0 AND doc_id <= (SELECT max(doc_id) FROM documents)"""
+
+    return o

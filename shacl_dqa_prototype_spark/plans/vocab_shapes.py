@@ -109,11 +109,16 @@ def score_vocab_plan(
         F.when(F.col("denom") == "vocab_classes", F.lit(n_classes))
         .when(F.col("denom") == "vocab_properties", F.lit(n_properties))
     )
-    measure = F.when(
-        F.col("denom") == "binary", (F.col("num_violations") == 0).cast("double")
-    ).otherwise(
-        F.greatest(F.lit(0.0),
-                   1.0 - F.col("num_violations") / F.nullif(denominator, F.lit(0)))
+    measure = (
+        F.when(F.col("denom") == "binary",
+               (F.col("num_violations") == 0).cast("double"))
+        # zero violations → 1.0 even with an empty denominator family
+        # (greatest() would swallow the NULL ratio into 0.0 otherwise)
+        .when(F.col("num_violations") == 0, F.lit(1.0))
+        .otherwise(
+            F.greatest(F.lit(0.0),
+                       1.0 - F.col("num_violations") / F.nullif(denominator, F.lit(0)))
+        )
     )
     dim_expr = F.lit(None).cast("string")
     for metric, dim in DIMENSIONS.items():

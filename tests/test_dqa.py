@@ -226,3 +226,22 @@ def test_scores(spark, plan_and_profile):
     meta = report.filter((F.col("score_kind") == "meta")
                          & (F.col("metric") == "FunctionalProperty")).first()
     assert meta["measure"] == pytest.approx(0.5)  # 1 of 2 properties clean
+
+
+def test_vocab_scoring_empty_denominator(spark):
+    """Zero-violation ratio shapes score 1.0 even when the denominator
+    family is empty (e.g. LabelForProperties for a class-only vocabulary) —
+    greatest() must not swallow the NULL ratio into 0.0."""
+    from shacl_dqa_prototype_spark.plans.vocab_shapes import (
+        compile_vocab_constraints,
+        score_vocab_plan,
+    )
+
+    plan = compile_vocab_constraints(
+        spark, "v", EX, [VocabTerm(CLASS_A, "class")],
+        term_labels={CLASS_A: True}, used_classes={CLASS_A}, used_props=set())
+    rep = score_vocab_plan(spark, "v", plan, n_classes=1, n_properties=0)
+    rows = {(r["metric"], r["item"]): r["measure"] for r in rep.collect()}
+    assert rows[("LabelForClasses", None)] == 1.0
+    assert rows[("LabelForProperties", None)] == 1.0  # empty denominator
+    assert rows[("UndefinedClass", CLASS_A)] == 1.0
