@@ -144,13 +144,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+_V1_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _violations(spark: SparkSession, sf_dir: str, metric: str,
                 with_item: bool = False, item: str | None = None) -> DataFrame:
     """Run the REAL compiled constraint plan; project one metric's distinct
-    violation set (the oracle re-derives the same set from raw tables)."""
-    plan = compile_data_constraints(
-        _triples(spark, sf_dir), ENTRY_VOCAB, ENTRY_DISJOINT, ENTRY_CFG)
-    v = plan.violations.filter(F.col("metric") == metric)
+    violation set (the oracle re-derives the same set from raw tables).
+    The compiled+cached violations DF is shared across all shape queries."""
+    key = (id(spark), sf_dir)
+    if key not in _V1_CACHE:
+        plan = compile_data_constraints(
+            _triples(spark, sf_dir), ENTRY_VOCAB, ENTRY_DISJOINT, ENTRY_CFG)
+        _V1_CACHE[key] = plan.violations.cache()
+    v = _V1_CACHE[key].filter(F.col("metric") == metric)
     if item is not None:
         v = v.filter(F.col("item") == item)
     cols = ["item", "focus"] if with_item else ["focus"]

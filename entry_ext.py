@@ -454,15 +454,25 @@ def ext_oracles() -> dict[str, str]:
     SELECT DISTINCT concat('urn:d2:supp/', s_suppkey) AS focus
     FROM supplier WHERE s_suppkey % 4 = 0"""
 
-    o["shape2_hash_uris_exempt"] = """
-    SELECT concat('urn:d2:reg#', r_regionkey) AS focus FROM region"""
+    # C2 violations = '#' URIs plus blank-node entities (sh:pattern fails
+    # for bnodes — pizza-golden parity semantics); rdfs:Class-typed seeds
+    # stay exempt.
+    o["shape2_hash_uris_exempt"] = f"""
+    SELECT concat('urn:d2:reg#', r_regionkey) AS focus FROM region
+    UNION
+    SELECT DISTINCT {PART_S} FROM part
+    WHERE p_partkey % 19 = 0 AND p_partkey % 17 <> 0"""
 
     o["shape2_schema_completeness"] = """
     SELECT 'urn:c2:Unused' AS focus"""
 
+    # long URIs plus bnode entities (sh:maxLength fails for bnodes)
     o["shape2_uris_length"] = f"""
     SELECT DISTINCT {PART_S} AS focus FROM part
-    WHERE p_partkey % 13 = 0 AND p_partkey % 17 <> 0 AND p_partkey % 19 <> 0"""
+    WHERE p_partkey % 13 = 0 AND p_partkey % 17 <> 0 AND p_partkey % 19 <> 0
+    UNION
+    SELECT DISTINCT {PART_S} FROM part
+    WHERE p_partkey % 19 = 0 AND p_partkey % 17 <> 0"""
 
     o["shape2_uris_params"] = f"""
     SELECT DISTINCT {PART_S} AS focus FROM part WHERE p_partkey % 17 = 0"""

@@ -35,10 +35,12 @@ XSD_REGEX_PATTERNS: dict[str, str] = {
     f"{_XSD}dateTimeStamp": r"^-?([1-9][0-9]{3,}|0[0-9]{3})-(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])T(([01][0-9]|2[0-3]):[0-5][0-9]:[0-5][0-9](\.[0-9]+)?|(24:00:00(\.0+)?))(Z|(\+|-)((0[0-9]|1[0-3]):[0-5][0-9]|14:00))?$",
     f"{_XSD}string": r"^(?s).*$",
     f"{_XSD}gYear": r"^-?([1-9][0-9]{3,}|0[0-9]{3})(Z|(\+|-)((0[0-9]|1[0-3]):[0-5][0-9]|14:00))?$",
-    f"{_XSD}gMonth": r"^--(0[1-9]|1[0-2])(Z|(\+|-)((0[0-9]|1[0-3]):[0-5][0-9]|14:00))?$",
-    f"{_XSD}gDay": r"^---(0[1-9]|[12][0-9]|3[01])(Z|(\+|-)((0[0-9]|1[0-3]):[0-5][0-9]|14:00))?$",
     f"{_XSD}gYearMonth": r"^-?([1-9][0-9]{3,}|0[0-9]{3})-(0[1-9]|1[0-2])(Z|(\+|-)((0[0-9]|1[0-3]):[0-5][0-9]|14:00))?$",
-    f"{_XSD}gMonthDay": r"^--(0[1-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])(Z|(\+|-)((0[0-9]|1[0-3]):[0-5][0-9]|14:00))?$",
+    # gMonth / gDay / gMonthDay are intentionally ABSENT: rdflib has no
+    # Python binding for them, so the reference (pySHACL via
+    # Literal.ill_typed) never reports them ill-formed — the pizza golden
+    # output leaves the invalid "---45"^^xsd:gDay unflagged while flagging
+    # the invalid "25"^^xsd:gYear. Unknown datatype ⇒ well-formed.
     f"{_XSD}duration": r"^-?P([0-9]+Y)?([0-9]+M)?([0-9]+D)?(T([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?$",
     f"{_XSD}yearMonthDuration": r"^-?P([0-9]+Y)?([0-9]+M)?$",
     f"{_XSD}dayTimeDuration": r"^-?P([0-9]+D)?(T([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?$",

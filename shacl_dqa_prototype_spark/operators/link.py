@@ -4,16 +4,17 @@ north_star: "link mentions via broadcast candidate dictionary + salted
 hash-join disambiguation scoring".
 
 Plan shape (all native DataFrame ops, zero Python), tuned so the big
-(mention-cardinality) data crosses the network exactly three times:
+(mention-cardinality) data crosses the network exactly twice:
 
   mentions → long format (role s/o; fact payload rides the s-rows)
     ⋈ F.broadcast(dictionary ⊕ per-surface candidate counts)   -- E3,
       candidate fan-out AND ambiguity degree in one broadcast lookup
-      (a per-mention count(*) window would cost a 4th shuffle)
+      (a per-mention count(*) window would cost an extra shuffle)
     → shuffle 1: coherence window over (doc_id, candidate) — does the
       candidate appear unambiguously elsewhere in this doc?
-    → shuffle 2: top-1 row_number over the mention key
-    → shuffle 3: groupBy mention key → (s_iri, o_iri, payload) → triples
+    → shuffle 2: ONE hash aggregate over the mention key that does top-1
+      per role (conditional min_by over struct(-score, candidate) — no
+      row_number sort) AND the s/o reassembly → (s_iri, o_iri, payload)
 
   popularity = docs-per-entity via an explicit TWO-PHASE SALTED distinct
   aggregate -- E4 skew mitigation: the hot entity's rows spread over
@@ -112,21 +113,22 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         + 0.001 * F.log1p(F.coalesce("popularity", F.lit(0))),
     )
 
-    # shuffle 2 — deterministic top-1 per mention-role
-    w = Window.partitionBy(*_KEY, "role").orderBy(
-        F.desc("score"), F.asc("candidate")
-    )
-    linked = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(*_KEY, "role", "candidate", *_PAYLOAD)
-    )
+    # shuffle 2 — top-1 per mention-role AND role reassembly fused into ONE
+    # hash aggregate (map-side partials; no row_number sort). min_by over
+    # struct(-score, candidate) = max score, ties broken by min candidate;
+    # the conditional ordering key is NULL for the other role, which min_by
+    # skips. Payload rides the 's' rows.
+    def top1(role: str) -> F.Column:
+        cond = F.col("role") == role
+        return F.min_by(
+            F.when(cond, F.col("candidate")),
+            F.when(cond, F.struct((-F.col("score")).alias("ns"),
+                                  F.col("candidate").alias("c"))),
+        )
 
-    # shuffle 3 — reassemble roles + payload per mention (conditional agg;
-    # payload lives on the 's' row)
-    return linked.groupBy(*_KEY).agg(
-        F.max(F.when(F.col("role") == "s", F.col("candidate"))).alias("s_iri"),
-        F.max(F.when(F.col("role") == "o", F.col("candidate"))).alias("o_iri"),
+    return scored.groupBy(*_KEY).agg(
+        top1("s").alias("s_iri"),
+        top1("o").alias("o_iri"),
         *[F.max(F.when(F.col("role") == "s", F.col(c))).alias(c) for c in _PAYLOAD],
     )
 

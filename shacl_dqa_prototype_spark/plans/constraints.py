@@ -115,9 +115,21 @@ def compile_data_constraints(
     vocab_terms: list[VocabTerm],
     disjoint_pairs: list[tuple[str, str]],
     cfg: DQAConfig,
+    used_props: set[str] | None = None,
+    used_classes: set[str] | None = None,
+    subclass_pairs: list[tuple[str, str]] | None = None,
 ) -> ConstraintPlan:
     """Compile + evaluate all data shapes. Returns the violations DF
-    (lazy; caller caches before scoring) and the instantiated shape list."""
+    (lazy; caller caches before scoring) and the instantiated shape list.
+
+    ``used_props``/``used_classes`` override the usage-pruning sets — the
+    reference prunes by the PRE-TBox-merge data profile
+    (shacl_shape_builder.py reads graph_profile) while shapes validate the
+    merged graph, so callers that merge pass the raw-graph sets here.
+    ``subclass_pairs`` is the transitive (descendant, ancestor) closure of
+    rdfs:subClassOf — sh:class in SHACL matches instances of subclasses,
+    so domain/range/disjoint checks extend the typing table through it
+    (broadcast join; the closure is TBox-small)."""
     spark = T.sparkSession
     p, s, o = F.col("p"), F.col("s"), F.col("o")
 
@@ -128,9 +140,25 @@ def compile_data_constraints(
     # entity targets minus the sh:or exemption set
     EnX = entities.join(exempt, "s", "left_anti").cache()
 
-    # usage pruning inputs (tiny: O(#properties), O(#classes))
-    used_props = {r["p"] for r in T.select("p").distinct().collect()}
-    used_classes = {r["o"] for r in typing.select("o").distinct().collect()}
+    # sh:class semantics: SHACL instance = typed as the class OR any
+    # rdfs:subClassOf descendant — extend typing through the closure dim.
+    if subclass_pairs:
+        closure = spark.createDataFrame(subclass_pairs, ["o", "anc"])
+        typing_ext = typing.unionByName(
+            typing.join(F.broadcast(closure), "o").select("s", F.col("anc").alias("o"))
+        ).distinct()
+    else:
+        typing_ext = typing
+
+    if used_props is None or used_classes is None:
+        # usage pruning inputs (tiny: O(#properties), O(#classes)) — ONE
+        # fused aggregation job for both sets (collect_set skips nulls)
+        usage = T.agg(
+            F.collect_set("p").alias("props"),
+            F.collect_set(F.when(p == cfg.type_property, o)).alias("classes"),
+        ).first()
+        used_props = set(usage["props"]) if used_props is None else used_props
+        used_classes = set(usage["classes"]) if used_classes is None else used_classes
 
     classes = [t for t in vocab_terms if t.term_kind == "class" and not t.deprecated]
     depr_classes = [t.term for t in vocab_terms if t.term_kind == "class" and t.deprecated]
@@ -157,8 +185,12 @@ def compile_data_constraints(
             "subjects_per_property", cfg.interlinking_property)
 
     # ---- C2 UsageHashURIsEntities (template:12-34) ------------------------
-    parts.append(_v(EnX.filter(F.col("s").contains("#")),
-                    "UsageHashURIsEntities", None, F.col("s")))
+    # sh:pattern applies to the string form; blank-node focus nodes always
+    # violate pattern constraints (observed in the pizza golden output:
+    # the 3 bnodes are in the violation list).
+    parts.append(_v(
+        EnX.filter(F.col("s").contains("#") | F.col("s").startswith("_:")),
+        "UsageHashURIsEntities", None, F.col("s")))
     add("UsageHashURIsEntities", None, "entities")
 
     # ---- C3 LabelForEntities (template:36-59): minCount 1 anti-join -------
@@ -169,8 +201,10 @@ def compile_data_constraints(
 
     # ---- C4/C5 URI regex/space compliance (template:61-107, gated) --------
     if cfg.uri_regex_pattern:
-        parts.append(_v(EnX.filter(~F.col("s").rlike("^" + cfg.uri_regex_pattern)),
-                        "URIRegexComplianceEntities", None, F.col("s")))
+        parts.append(_v(
+            EnX.filter(F.col("s").startswith("_:")
+                       | ~F.col("s").rlike("^" + cfg.uri_regex_pattern)),
+            "URIRegexComplianceEntities", None, F.col("s")))
         add("URIRegexComplianceEntities", None, "entities")
     if cfg.uri_space:
         parts.append(_v(EnX.filter(~F.col("s").startswith(cfg.uri_space)),
@@ -188,8 +222,12 @@ def compile_data_constraints(
     # ONE job for all classes: classes-with-real-instances, anti-joined.
     if classes:
         cls_df = spark.createDataFrame([(c.term,) for c in classes], ["cls"])
+        # qualifying instance = one NOT typed owl:NamedIndividual (the
+        # NotNamedIndividualShape is a property shape on rdf:type —
+        # template:136-140)
+        ni_typed = typing.filter(o == OWL_NAMED_INDIVIDUAL).select("s").distinct()
         with_instances = (
-            typing.filter(F.col("s") != OWL_NAMED_INDIVIDUAL)
+            typing.join(ni_typed, "s", "left_anti")
             .select(F.col("o").alias("cls")).distinct()
         )
         missing = F.broadcast(cls_df).join(with_instances, "cls", "left_anti")
@@ -199,8 +237,12 @@ def compile_data_constraints(
             add("SchemaCompletenessClassUsage", c.term, "binary")
 
     # ---- C8/C9 URI length / query params (template:156-202) ---------------
-    parts.append(_v(EnX.filter(F.length("s") > cfg.uris_max_length),
-                    "URIsLengthEntities", None, F.col("s")))
+    # sh:maxLength also violates for blank-node focus nodes (SHACL spec:
+    # maxLength fails for blank nodes; confirmed in the pizza golden).
+    parts.append(_v(
+        EnX.filter((F.length("s") > cfg.uris_max_length)
+                   | F.col("s").startswith("_:")),
+        "URIsLengthEntities", None, F.col("s")))
     add("URIsLengthEntities", None, "entities")
     parts.append(_v(EnX.filter(F.col("s").rlike(r"\?.+=.*")),
                     "URIsParametersEntities", None, F.col("s")))
@@ -249,8 +291,9 @@ def compile_data_constraints(
     ]
     if dpairs:
         pair_df = spark.createDataFrame(dpairs, ["class_a", "class_b"])
-        ta = typing.withColumnsRenamed({"o": "class_a"})
-        tb = typing.withColumnsRenamed({"o": "class_b"})
+        # sh:targetClass / sh:class follow rdfs:subClassOf → closure typing
+        ta = typing_ext.withColumnsRenamed({"o": "class_a"})
+        tb = typing_ext.withColumnsRenamed({"o": "class_b"})
         both = ta.join(tb, "s").join(F.broadcast(pair_df), ["class_a", "class_b"], "semi")
         parts.append(_v(both, "EntitiesDisjointClasses",
                         F.concat_ws("|", "class_a", "class_b"), F.col("s")))
@@ -362,7 +405,7 @@ def compile_data_constraints(
         dom_df = spark.createDataFrame(
             [(t.term, t.domain) for t in dom_class], ["p", "domain"])
         subj_prop = T.join(F.broadcast(dom_df), "p").select("p", "s", "domain").distinct()
-        typed_as = typing.withColumnsRenamed({"o": "domain"})
+        typed_as = typing_ext.withColumnsRenamed({"o": "domain"})
         bad_dom = subj_prop.join(typed_as, ["s", "domain"], "left_anti")
         parts.append(_v(bad_dom, "CorrectDomain", p, s))
     for t in dom_terms:
@@ -371,45 +414,74 @@ def compile_data_constraints(
         add("CorrectDomain", t.term, "subjects_per_property", t.term)
 
     # ---- C28/C29/C30/C32 CorrectRange + MalformedLiteral (511-590) --------
+    # Instantiation rules differ BY TERM KIND (shacl_shape_builder.py):
+    #   * datatype_property (builder:340-362): ALWAYS sh:datatype(range) +
+    #     MalformedLiteral(range) — including range rdfs:Literal (which no
+    #     literal satisfies, so every value violates);
+    #   * object_property (builder:330-336): owl:Thing → nodeKind
+    #     BlankNodeOrIRI; rdfs:Resource → both (vacuous); else sh:class;
+    #   * rdf_property (builder:433-455): literal-kind range != rdfs:Literal
+    #     → sh:datatype + MalformedLiteral; == rdfs:Literal → nodeKind
+    #     Literal; class-kind → Thing/Resource/sh:class as above.
+    OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
     rng_terms = [t for t in props if t.range and t.term in used_props and not t.deprecated]
-    rng_dt = [t for t in rng_terms if t.range_kind == "literal"]
-    rng_cls = [t for t in rng_terms
-               if t.range_kind == "class" and t.range != f"{RDFS}Resource"]
+    rng_dt, rng_cls, rng_nk_literal, rng_nk_bi = [], [], [], []
+    for t in rng_terms:
+        if t.term_kind == "datatype_property":
+            rng_dt.append(t)
+        elif t.term_kind == "object_property":
+            if t.range == OWL_THING:
+                rng_nk_bi.append(t)
+            elif t.range != f"{RDFS}Resource":
+                rng_cls.append(t)
+        else:  # rdf_property
+            if t.range_kind == "literal":
+                (rng_nk_literal if t.range == f"{RDFS}Literal" else rng_dt).append(t)
+            elif t.range == OWL_THING:
+                rng_nk_bi.append(t)
+            elif t.range != f"{RDFS}Resource":
+                rng_cls.append(t)
     if rng_dt:
         dt_df = spark.createDataFrame(
             [(t.term, t.range) for t in rng_dt], ["p", "range"])
         vals = T.join(F.broadcast(dt_df), "p")
-        if_literal_range = F.when(
-            F.col("range") == f"{RDFS}Literal", F.col("o_kind") != "literal"
-        )
+        # plain literals carry xsd:string (RDF 1.1); lang-tagged carry
+        # rdf:langString — both already explicit in o_dtype or defaulted.
+        eff_dtype = F.coalesce(F.col("o_dtype"), F.lit(f"{XSD}string"))
         is_langstring = F.when(
             F.col("range") == RDF_LANGSTRING,
             (F.col("o_kind") != "literal") | F.col("o_lang").isNull(),
         )
         bad_rng_dt = vals.filter(
             F.coalesce(
-                if_literal_range,
                 is_langstring,
                 (F.col("o_kind") != "literal")
-                | (F.col("o_dtype").isNull() | (F.col("o_dtype") != F.col("range")))
-                | ill_formed_literal(o, F.col("o_dtype")),
+                | (eff_dtype != F.col("range"))
+                | ill_formed_literal(o, eff_dtype),
             )
         )
         parts.append(_v(bad_rng_dt, "CorrectRange", p, s, o))
-        # Same physical violations, second metric (shacl_shape_builder.py:361-362)
-        xsd_rng = bad_rng_dt.filter(F.col("range").startswith(XSD))
-        parts.append(_v(xsd_rng, "MalformedLiteral", p, s, o))
+        # Same physical violations, second metric (builder:361-362,440)
+        parts.append(_v(bad_rng_dt, "MalformedLiteral", p, s, o))
+    if rng_nk_literal:
+        nk_terms = sorted(t.term for t in rng_nk_literal)
+        parts.append(_v(T.filter(p.isin(nk_terms) & (F.col("o_kind") != "literal")),
+                        "CorrectRange", p, s, o))
+    if rng_nk_bi:
+        bi_terms = sorted(t.term for t in rng_nk_bi)
+        parts.append(_v(T.filter(p.isin(bi_terms) & (F.col("o_kind") == "literal")),
+                        "CorrectRange", p, s, o))
     if rng_cls:
         cls_rng_df = spark.createDataFrame(
             [(t.term, t.range) for t in rng_cls], ["p", "range"])
         vals_c = T.join(F.broadcast(cls_rng_df), "p").select("p", "s", "o", "range")
-        typed_obj = typing.select(F.col("s").alias("o"), F.col("o").alias("range"))
+        typed_obj = typing_ext.select(F.col("s").alias("o"), F.col("o").alias("range"))
         bad_rng_cls = vals_c.join(typed_obj, ["o", "range"], "left_anti")
         parts.append(_v(bad_rng_cls, "CorrectRange", p, s, o))
     for t in rng_terms:
         add("CorrectRange", t.term, "subjects_per_property", t.term)
-        if t.range_kind == "literal" and t.range and t.range.startswith(XSD):
-            add("MalformedLiteral", t.term, "subjects_per_property", t.term)
+    for t in rng_dt:
+        add("MalformedLiteral", t.term, "subjects_per_property", t.term)
 
     violations = reduce(DataFrame.unionByName, parts) if parts else (
         spark.createDataFrame([], VIOLATIONS_SCHEMA)

@@ -43,7 +43,9 @@ _NT_LINE = re.compile(
     r"<(?P<p>[^>]*)>\s+"
     r"(?:<(?P<o_iri>[^>]*)>|(?P<o_bn>_:\S+)|"
     r'"(?P<o_lit>(?:[^"\\]|\\.)*)"'
-    r"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dtype>[^>]*)>)?)"
+    # group must NOT be named 'dtype': pandas' str.extract treats a column
+    # named 'dtype' as its dtype kwarg and raises
+    r"(?:@(?P<lang>[A-Za-z0-9\-]+)|\^\^<(?P<dt>[^>]*)>)?)"
     r"\s*\.\s*$"
 )
 
@@ -76,7 +78,7 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
                     "p": sub["p"],
                     "o": o,
                     "o_kind": o_kind,
-                    "o_dtype": sub["dtype"],
+                    "o_dtype": sub["dt"],
                     "o_lang": sub["lang"],
                 }
             )

@@ -132,8 +132,9 @@ def focus_set(plan, metric, item=None):
 
 def test_entity_scoped_filters(plan_and_profile):
     _, plan, _ = plan_and_profile
-    assert focus_set(plan, "UsageHashURIsEntities") == {E3}      # weird exempt
-    assert focus_set(plan, "URIsLengthEntities") == {E5}
+    # bnodes violate sh:pattern / sh:maxLength (pizza-golden parity)
+    assert focus_set(plan, "UsageHashURIsEntities") == {E3, E4}  # weird exempt
+    assert focus_set(plan, "URIsLengthEntities") == {E5, E4}
     assert focus_set(plan, "URIsParametersEntities") == {E6}
     assert focus_set(plan, "BlankNodesUsageEntities") == {E4}
     assert focus_set(plan, "SelfDescriptiveFormat") == {E4}
@@ -206,7 +207,7 @@ def test_scores(spark, plan_and_profile):
 
     assert profile.num_entities == 11
     # count metrics over entities: 1 - violations/11
-    assert measure("UsageHashURIsEntities") == pytest.approx(1 - 1 / 11)
+    assert measure("UsageHashURIsEntities") == pytest.approx(1 - 2 / 11)
     assert measure("LabelForEntities") == pytest.approx(1 - 7 / 11)
     assert measure("InterlinkingCompleteness") == pytest.approx(1 - 8 / 11)
     # per-property ratio: partner has 2 distinct subjects, 1 violating

@@ -1,0 +1,128 @@
+"""A1/A2 — RDF scan tests: N-Triples (distributed mapInPandas parse),
+Turtle subset, RDF/XML; plus the metadata-gated C4/C5 contextual shapes.
+
+Reference parse points: /root/reference/utils.py:66-67 (Turtle data graph),
+utils.py:165-166 (RDF/XML vocabularies), config `graph_file_format`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shacl_dqa_prototype_spark.plans.constraints import (
+    DQAConfig,
+    compile_data_constraints,
+)
+from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+from shacl_dqa_prototype_spark.sources.rdf import (
+    parse_rdfxml,
+    parse_turtle,
+    read_ntriples,
+)
+
+EX = "http://example.org/"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    nt = "\n".join([
+        f'<{EX}a> <{EX}knows> <{EX}b> .',
+        f'<{EX}a> <{EX}name> "Alice" .',
+        f'<{EX}a> <{EX}name> "Alicia"@es .',
+        f'<{EX}a> <{EX}age> "42"^^<{XSD_NS}integer> .',
+        f'_:b1 <{EX}knows> _:b2 .',
+        f'<{EX}a> <{EX}quote> "say \\"hi\\"\\n" .',
+        'not a triple line',
+    ])
+    p = tmp_path / "g.nt"
+    p.write_text(nt)
+    rows = {tuple(r) for r in read_ntriples(spark, str(p)).collect()}
+    assert (f"{EX}a", f"{EX}knows", f"{EX}b", "iri", None, None) in rows
+    assert (f"{EX}a", f"{EX}name", "Alice", "literal", None, None) in rows
+    assert (f"{EX}a", f"{EX}name", "Alicia", "literal", None, "es") in rows
+    assert (f"{EX}a", f"{EX}age", "42", "literal", f"{XSD_NS}integer", None) in rows
+    assert ("_:b1", f"{EX}knows", "_:b2", "bnode", None, None) in rows
+    assert (f"{EX}a", f"{EX}quote", 'say "hi"\n', "literal", None, None) in rows
+    assert len(rows) == 6  # malformed line dropped
+
+
+def test_turtle_subset():
+    ttl = f"""
+    @prefix ex: <{EX}> .
+    @prefix xsd: <{XSD_NS}> .
+    # a comment
+    ex:a a ex:Person ;
+         ex:name "Alice"@en , "Alicia"@es ;
+         ex:age 42 ;
+         ex:score 3.5 ;
+         ex:active true ;
+         ex:knows ex:b .
+    _:n1 ex:label "blank"^^xsd:string .
+    """
+    rows = set(parse_turtle(ttl))
+    assert (f"{EX}a", f"{RDF_NS}type", f"{EX}Person", "iri", None, None) in rows
+    assert (f"{EX}a", f"{EX}name", "Alice", "literal", f"{RDF_NS}langString", "en") in rows
+    assert (f"{EX}a", f"{EX}name", "Alicia", "literal", f"{RDF_NS}langString", "es") in rows
+    assert (f"{EX}a", f"{EX}age", "42", "literal", f"{XSD_NS}integer", None) in rows
+    assert (f"{EX}a", f"{EX}score", "3.5", "literal", f"{XSD_NS}decimal", None) in rows
+    assert (f"{EX}a", f"{EX}active", "true", "literal", f"{XSD_NS}boolean", None) in rows
+    assert (f"{EX}a", f"{EX}knows", f"{EX}b", "iri", None, None) in rows
+    assert ("_:n1", f"{EX}label", "blank", "literal", f"{XSD_NS}string", None) in rows
+
+
+def test_rdfxml_subset():
+    xml = f"""<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="{RDF_NS}" xmlns:owl="http://www.w3.org/2002/07/owl#"
+             xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+             xml:base="{EX}onto">
+      <owl:Class rdf:about="#Pizza">
+        <rdfs:label xml:lang="en">Pizza</rdfs:label>
+        <rdfs:subClassOf rdf:resource="#Food"/>
+      </owl:Class>
+      <rdf:Description rdf:about="#Margherita">
+        <rdf:type rdf:resource="#Pizza"/>
+      </rdf:Description>
+    </rdf:RDF>"""
+    rows = set(parse_rdfxml(xml))
+    owl = "http://www.w3.org/2002/07/owl#"
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    assert (f"{EX}onto#Pizza", f"{RDF_NS}type", f"{owl}Class", "iri", None, None) in rows
+    assert (f"{EX}onto#Pizza", f"{rdfs}label", "Pizza", "literal",
+            f"{RDF_NS}langString", "en") in rows
+    assert (f"{EX}onto#Pizza", f"{rdfs}subClassOf", f"{EX}onto#Food",
+            "iri", None, None) in rows
+    assert (f"{EX}onto#Margherita", f"{RDF_NS}type", f"{EX}onto#Pizza",
+            "iri", None, None) in rows
+
+
+def test_contextual_uri_shapes(spark):
+    """C4/C5 — URIRegexCompliance / URISpaceCompliance, gated on metadata
+    (shacl_shape_builder.py:70-77): instantiated only when the VoID
+    metadata supplies uriRegexPattern / uriSpace."""
+    T = spark.createDataFrame(
+        [
+            (f"{EX}good1", f"{RDF_NS}type", f"{EX}C", "iri", None, None),
+            (f"{EX}good2", f"{RDF_NS}type", f"{EX}C", "iri", None, None),
+            ("http://other.org/bad", f"{RDF_NS}type", f"{EX}C", "iri", None, None),
+        ],
+        TRIPLES_SCHEMA,
+    )
+    cfg = DQAConfig(
+        type_property=f"{RDF_NS}type",
+        uri_regex_pattern="http://example\\.org/.*",
+        uri_space=EX,
+    )
+    plan = compile_data_constraints(T, [], [], cfg)
+    v = plan.violations
+    regex_bad = {r["focus"] for r in
+                 v.filter(F.col("metric") == "URIRegexComplianceEntities").collect()}
+    space_bad = {r["focus"] for r in
+                 v.filter(F.col("metric") == "URISpaceComplianceEntities").collect()}
+    assert regex_bad == {"http://other.org/bad"}
+    assert space_bad == {"http://other.org/bad"}
+    # ungated when metadata absent
+    plan2 = compile_data_constraints(T, [], [], DQAConfig(type_property=f"{RDF_NS}type"))
+    metrics = {s.metric for s in plan2.shapes}
+    assert "URIRegexComplianceEntities" not in metrics
+    assert "URISpaceComplianceEntities" not in metrics

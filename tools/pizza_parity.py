@@ -1,0 +1,249 @@
+"""Pizza golden-output parity harness (SURVEY.md §5.2).
+
+Rebuilds the reference's pizza assessment with the Spark engine — parse
+data.ttl/void.ttl/pizza.xml with our RDF scans, mine the vocab, merge the
+TBox, compile+evaluate all shapes, score — then compares every metric's
+measure (and num_violations where the golden has one) against the
+committed golden JSONs in /root/reference/datasets/pizza/results/.
+
+Usage: PYTHONPATH=/root/repo python tools/pizza_parity.py
+Exit 0 = full parity. Prints one line per mismatch otherwise.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from shacl_dqa_prototype_spark.functions.terms import OWL, RDF, RDFS, VOID
+from shacl_dqa_prototype_spark.plans.constraints import DQAConfig, VocabTerm
+from shacl_dqa_prototype_spark.plans.dqa import (
+    contextual_config_from_metadata,
+    run_data_dqa,
+    run_metadata_dqa,
+)
+from shacl_dqa_prototype_spark.plans.profile import profile_graph
+from shacl_dqa_prototype_spark.plans.vocab import (
+    mine_vocab,
+    profile_to_vocab_terms,
+    tbox_merge_rows,
+    tbox_self_typing_rows,
+)
+from shacl_dqa_prototype_spark.plans.vocab_shapes import (
+    compile_vocab_constraints,
+    score_vocab_plan,
+)
+from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+from shacl_dqa_prototype_spark.session import get_spark
+from shacl_dqa_prototype_spark.sources.rdf import parse_rdfxml, parse_turtle
+
+PIZZA = "/root/reference/datasets/pizza"
+RDF_TYPE = f"{RDF}type"
+
+CFG = DQAConfig(
+    type_property=RDF_TYPE,
+    labeling_property=f"{RDFS}label",
+    description_property=f"{RDFS}comment",
+    interlinking_property=f"{OWL}sameAs",
+    uris_max_length=80,
+    base_uri="http://example.org/pizza#",
+)
+
+
+def build_report(spark):
+    data_rows = list(dict.fromkeys(parse_turtle(open(f"{PIZZA}/data.ttl").read())))
+    void_rows = parse_turtle(open(f"{PIZZA}/void.ttl").read())
+    vocab_rows = parse_rdfxml(open(f"{PIZZA}/pizza.xml").read())
+
+    prof_v = mine_vocab(vocab_rows)
+    terms, disjoint = profile_to_vocab_terms(prof_v)
+
+    T_raw = spark.createDataFrame(data_rows, TRIPLES_SCHEMA)
+    # profile BEFORE merge (dq_assessment.py:128-143 profiles the raw graph)
+    profile = profile_graph(T_raw, CFG.type_property, CFG.labeling_property,
+                            CFG.description_property, CFG.interlinking_property)
+    merged = tbox_merge_rows(vocab_rows, prof_v.classes)
+    T = T_raw.unionByName(
+        spark.createDataFrame(merged, TRIPLES_SCHEMA)).dropDuplicates()
+
+    metadata = spark.createDataFrame(void_rows, TRIPLES_SCHEMA)
+    cfg = contextual_config_from_metadata(metadata, CFG)
+
+    # usage pruning sets come from the RAW graph (the reference's profile
+    # drives shape instantiation); sh:class closure from vocab subClassOf.
+    used_props = {r[1] for r in data_rows}
+    used_classes = {r[2] for r in data_rows if r[1] == RDF_TYPE}
+    sub_pairs = subclass_closure(vocab_rows)
+
+    from shacl_dqa_prototype_spark.plans.constraints import compile_data_constraints
+    from shacl_dqa_prototype_spark.plans.scoring import score_plan
+
+    plan = compile_data_constraints(
+        T, terms, disjoint, cfg, used_props=used_props,
+        used_classes=used_classes, subclass_pairs=sub_pairs)
+    plan.violations = plan.violations.cache()
+    report = score_plan(spark, plan, profile, target="data")
+    md_report = run_metadata_dqa(spark, metadata)
+    return report, md_report, (vocab_rows, prof_v, T_raw)
+
+
+def subclass_closure(vocab_rows) -> list[tuple[str, str]]:
+    """Transitive (descendant, ancestor) pairs from rdfs:subClassOf."""
+    direct: dict[str, set[str]] = {}
+    for (s, p, o, *_r) in vocab_rows:
+        if p == f"{RDFS}subClassOf":
+            direct.setdefault(s, set()).add(o)
+    pairs: set[tuple[str, str]] = set()
+    for start in direct:
+        stack, seen = list(direct[start]), set()
+        while stack:
+            anc = stack.pop()
+            if anc in seen:
+                continue
+            seen.add(anc)
+            pairs.add((start, anc))
+            stack.extend(direct.get(anc, ()))
+    return sorted(pairs)
+
+
+def vocab_report(spark, vocab_rows, prof_v, T_raw):
+    """C37-C40 against the self-typed vocab graph, mirroring
+    dq_assessment.py:171-229 (namespace routing + derived typing)."""
+    typed = tbox_self_typing_rows(vocab_rows)
+    classes_all = sorted({s for (s, p, o, *_r) in typed
+                          if p == RDF_TYPE and o == f"{RDFS}Class"})
+    props_all = sorted({s for (s, p, o, *_r) in typed
+                        if p == RDF_TYPE and o == f"{RDF}Property"})
+    labeled = {s for (s, p, o, *_r) in vocab_rows if p == f"{RDFS}label"}
+    term_labels = {t: True for t in labeled}
+
+    vterms = ([VocabTerm(c, "class") for c in classes_all]
+              + [VocabTerm(p, "object_property") for p in props_all])
+    used_classes = {r["o"] for r in T_raw.filter(F.col("p") == RDF_TYPE)
+                    .select("o").distinct().collect()}
+    used_props = {r["p"] for r in T_raw.select("p").distinct().collect()}
+    plan = compile_vocab_constraints(
+        spark, "pizza_owl", prof_v.namespace, vterms, term_labels,
+        used_classes, used_props)
+    return score_vocab_plan(
+        spark, "pizza_owl", plan,
+        n_classes=prof_v.num_all_classes + len(prof_v.other_classes),
+        n_properties=prof_v.num_all_properties + len(prof_v.other_properties))
+
+
+def compare(report, md_report, vrep) -> list[str]:
+    golden = json.load(open(f"{PIZZA}/results/dq_assessment_pizza_data.json"))
+    md_golden = json.load(open(f"{PIZZA}/results/dq_assessment_pizza_metadata.json"))
+    v_golden = json.load(
+        open(f"{PIZZA}/results/dq_assessment_vocabularies_pizza_owl.json"))
+    errors: list[str] = []
+
+    ours = {}
+    for r in report.collect():
+        if r["score_kind"] != "meta":
+            ours[(r["metric"], r["item"])] = (r["measure"], r["num_violations"])
+
+    def check(metric, item, g, tag):
+        got = ours.get((metric, item))
+        if got is None:
+            errors.append(f"MISSING {tag}: ({metric}, {item})")
+            return
+        gm = float(g.get("measure"))
+        if abs(got[0] - gm) > 1e-9:
+            errors.append(f"MEASURE {tag}: ({metric}, {item}) ours={got[0]} golden={gm}")
+        gnv = g.get("num_violations")
+        if isinstance(gnv, int) and got[1] != gnv:
+            errors.append(f"NV {tag}: ({metric}, {item}) ours={got[1]} golden={gnv}")
+
+    # single metrics that carry an item (their shape is property-scoped)
+    SINGLE_ITEM = {
+        "UsageExternalURIEntities": CFG.interlinking_property,
+        "DifferentLanguagesLabelsEntities": CFG.labeling_property,
+        "DifferentLanguagesDescriptionsEntities": CFG.description_property,
+    }
+    fam_golden: dict[str, list[float]] = {}
+    for key, g in golden.items():
+        metric = key.rsplit("_", 1)[0] if key[-1].isdigit() else key
+        if metric == key:
+            check(metric, SINGLE_ITEM.get(metric), g, "single")
+            continue
+        fam_golden.setdefault(metric, []).append(round(float(g["measure"]), 9))
+        item = g.get("property") or g.get("class")
+        if isinstance(item, dict):  # EntitiesDisjointClasses
+            item = f"{item['first_class']}|{item['second_class']}"
+        if item is not None:
+            check(metric, item, g, "item")
+
+    # family multiset parity (covers the measure-1 entries with no item key)
+    fam_ours: dict[str, list[float]] = {}
+    for (metric, item), (m, _nv) in ours.items():
+        if item is not None:
+            fam_ours.setdefault(metric, []).append(round(m, 9))
+    for metric, gvals in fam_golden.items():
+        ovals = fam_ours.get(metric, [])
+        if sorted(gvals) != sorted(ovals):
+            errors.append(
+                f"FAMILY {metric}: ours({len(ovals)})={sorted(ovals)[:8]}... "
+                f"golden({len(gvals)})={sorted(gvals)[:8]}...")
+
+    md_ours = {r["metric"]: r["measure"] for r in md_report.collect()}
+    for metric, g in md_golden.items():
+        if metric not in md_ours:
+            errors.append(f"MISSING metadata: {metric}")
+        elif abs(md_ours[metric] - float(g["measure"])) > 1e-9:
+            errors.append(f"MEASURE metadata {metric}: ours={md_ours[metric]} "
+                          f"golden={g['measure']}")
+
+    v_ours = {}
+    for r in vrep.collect():
+        if r["score_kind"] != "meta":
+            v_ours[(r["metric"], r["item"])] = (r["measure"], r["num_violations"])
+    vfam_g: dict[str, list[float]] = {}
+    for key, g in v_golden.items():
+        metric = key.rsplit("_", 1)[0] if key[-1].isdigit() else key
+        if metric == key:
+            got = v_ours.get((metric, None))
+            if got is None:
+                errors.append(f"MISSING vocab: {metric}")
+            elif abs(got[0] - float(g["measure"])) > 1e-9:
+                errors.append(f"MEASURE vocab {metric}: ours={got[0]} "
+                              f"golden={g['measure']}")
+            continue
+        vfam_g.setdefault(metric, []).append(round(float(g["measure"]), 9))
+        item = g.get("property") or g.get("class")
+        if item is not None:
+            got = v_ours.get((metric, item))
+            if got is None:
+                errors.append(f"MISSING vocab item: ({metric}, {item})")
+            elif abs(got[0] - float(g["measure"])) > 1e-9:
+                errors.append(f"MEASURE vocab ({metric}, {item}): ours={got[0]} "
+                              f"golden={g['measure']}")
+    vfam_o: dict[str, list[float]] = {}
+    for (metric, item), (m, _nv) in v_ours.items():
+        if item is not None:
+            vfam_o.setdefault(metric, []).append(round(m, 9))
+    for metric, gvals in vfam_g.items():
+        if sorted(gvals) != sorted(vfam_o.get(metric, [])):
+            errors.append(f"FAMILY vocab {metric}: ours={sorted(vfam_o.get(metric, []))} "
+                          f"golden={sorted(gvals)}")
+    return errors
+
+
+def main() -> int:
+    spark = get_spark("pizza-parity", cores=8, shuffle_partitions=8)
+    report, md_report, (vocab_rows, prof_v, T_raw) = build_report(spark)
+    vrep = vocab_report(spark, vocab_rows, prof_v, T_raw)
+    errors = compare(report, md_report, vrep)
+    for e in errors:
+        print(e)
+    print(f"{'PARITY OK' if not errors else 'MISMATCHES'}: {len(errors)} errors")
+    spark.stop()
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
