@@ -94,7 +94,8 @@ def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig) -> tuple[floa
     dictionary = entity_dictionary(spark, cfg)
     wd = tempfile.mkdtemp(prefix="bench_kg_")
     t0 = time.time()
-    run_construction(spark, docs, dictionary, wd, n_buckets=cores)
+    # fixed bucket count so different-parallelism runs do identical work
+    run_construction(spark, docs, dictionary, wd, n_buckets=32)
     dt = time.time() - t0
     n_triples = spark.read.parquet(
         os.path.join(wd, "triples.parquet")).count()
@@ -134,27 +135,38 @@ def main() -> None:
     }
 
     if do_scaling:
-        # The sandbox host's effective CPU availability fluctuates ~2×
-        # between runs, so single-shot numbers are meaningless: interleave
-        # lo/hi runs and take best-of-N per config (standard practice for
-        # noisy shared hosts). N cores → 4N cores proxies the N→4N
-        # executor criterion (BASELINE.json north_rule).
-        lo_cores, hi_cores = max(2, CPUS // 8), max(8, CPUS // 2)
-        lo_best, hi_best = float("inf"), float("inf")
-        repeats = 3
+        # N→4N scaling evidence (BASELINE.json north_rule), sandbox proxy:
+        # the SAME construction job on the SAME input at two parallelism
+        # levels, efficiency = (t_lo / t_hi) / (hi/lo). Cores are 2 vs 8
+        # (N and 4N) rather than 8 vs 32 because this host is shared —
+        # external tenants keep loadavg at 10-18, so runs above ~8-16
+        # threads contend with neighbors and measure the neighbors, not
+        # the engine. The corpus is sized ~20× the headline corpus so
+        # compute dominates the fixed per-stage overhead, and runs are
+        # interleaved best-of-N against the host's run-to-run variance.
+        lo_cores, hi_cores = 2, 8
+        n_sc = max(n_docs * 20, 1_000_000)
+        sc_dir, sc_cfg = _materialize_corpus(n_sc)
+        lo_best = hi_best = float("inf")
+        repeats = 2
+        sc_n = 0
         for _ in range(repeats):
-            lo_sec, lo_n = _construction_run(lo_cores, corpus_dir, cfg)
-            hi_sec, hi_n = _construction_run(hi_cores, corpus_dir, cfg)
+            hi_sec, sc_n = _construction_run(hi_cores, sc_dir, sc_cfg)
+            lo_sec, sc_n = _construction_run(lo_cores, sc_dir, sc_cfg)
             lo_best, hi_best = min(lo_best, lo_sec), min(hi_best, hi_sec)
-        lo_tp, hi_tp = lo_n / lo_best, hi_n / hi_best
         out["scaling"] = {
+            "mode": "strong (same input, 2 vs 8 cores)",
             "cores_lo": lo_cores,
             "cores_hi": hi_cores,
+            "docs": n_sc,
             "repeats": repeats,
-            "triples_per_sec_lo": round(lo_tp, 1),
-            "triples_per_sec_hi": round(hi_tp, 1),
-            "efficiency": round((hi_tp / lo_tp) / (hi_cores / lo_cores), 3),
+            "sec_lo": round(lo_best, 2),
+            "sec_hi": round(hi_best, 2),
+            "triples_per_sec_lo": round(sc_n / lo_best, 1),
+            "triples_per_sec_hi": round(sc_n / hi_best, 1),
+            "efficiency": round((lo_best / hi_best) / (hi_cores / lo_cores), 3),
         }
+        shutil.rmtree(sc_dir, ignore_errors=True)
 
     shutil.rmtree(corpus_dir, ignore_errors=True)
     print(json.dumps(out))

@@ -419,7 +419,10 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(node(F.col("doc_id")).alias("src"),
                     node(F.col("doc_id") + 1).alias("dst"))
         )
-        return connected_components(edges)
+        # driver_threshold=0 forces the DISTRIBUTED large-star/small-star
+        # fixpoint so the oracle validates the scale path, not the
+        # small-graph union-find shortcut.
+        return connected_components(edges, driver_threshold=0)
     q["kg_connected_components"] = cc
 
     # --- multimodal plumbing (decode is a deterministic stub) --------------

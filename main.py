@@ -1,0 +1,258 @@
+"""spark-submit entrypoint for the KG-construction + DQA pipeline.
+
+Engine equivalent of the reference CLI (/root/reference/main.py:59-75,
+`python3 main.py -d <dataset> -ra`), re-shaped for a cluster:
+
+    spark-submit --py-files engine.zip main.py construct \
+        --docs s3://bucket/docs/ --dictionary dict.parquet --workdir kg/
+    spark-submit --py-files engine.zip main.py dqa \
+        --triples kg/triples.parquet --vocab pizza.xml --metadata void.ttl \
+        --base-uri http://example.org/pizza# --output results/
+    spark-submit --py-files engine.zip main.py pipeline ... (both stages)
+
+`construct` resumes from the last committed snapshot in --workdir
+(manifest-driven; kill it and re-run with the same workdir). `dqa` emits
+the reference-shaped report CSV + JSON plus a profile JSON.
+
+Packaging: `python main.py --make-pyfiles engine.zip` zips the package for
+--py-files; on the sandbox the repo dir on PYTHONPATH works as-is.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark(args):
+    from shacl_dqa_prototype_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"kg-dqa:{args.cmd}",
+        cores=args.master or None,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+
+
+def _read_rdf(spark, path: str):
+    """Format-sniffing RDF reader (reference config `graph_file_format`)."""
+    from shacl_dqa_prototype_spark.sources import rdf
+
+    if path.endswith((".nt", ".ntriples")):
+        # RDF graphs are sets (rdflib semantics) — dedupe on read
+        return rdf.read_ntriples(spark, path).dropDuplicates(), None
+    if path.endswith((".ttl", ".n3", ".turtle")):
+        rows = rdf.parse_turtle(open(path, encoding="utf-8").read())
+    elif path.endswith((".xml", ".rdf", ".owl")):
+        rows = rdf.parse_rdfxml(open(path, encoding="utf-8").read())
+    else:
+        raise SystemExit(f"unknown RDF format: {path}")
+    rows = list(dict.fromkeys(map(tuple, rows)))
+    from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+
+    return spark.createDataFrame(rows, TRIPLES_SCHEMA), rows
+
+
+def cmd_construct(args) -> None:
+    from shacl_dqa_prototype_spark.plans.construction import run_construction
+    from shacl_dqa_prototype_spark.schemas import ENTITY_DICTIONARY_SCHEMA
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    dictionary = (
+        spark.read.parquet(args.dictionary)
+        if args.dictionary
+        else spark.createDataFrame([], ENTITY_DICTIONARY_SCHEMA)
+    )
+    t0 = time.time()
+    res = run_construction(
+        spark, docs, dictionary, args.workdir,
+        n_buckets=args.buckets, resume=not args.no_resume,
+    )
+    n = spark.read.parquet(res.triples_path).count()
+    print(json.dumps({
+        "triples_path": res.triples_path,
+        "stages_run": res.stages_run,
+        "stages_resumed": res.stages_resumed,
+        "n_triples": n,
+        "sec": round(time.time() - t0, 2),
+        "triples_per_sec": round(n / max(time.time() - t0, 1e-9), 1),
+    }))
+
+
+def cmd_dqa(args) -> None:
+    from pyspark.sql import functions as F
+
+    from shacl_dqa_prototype_spark.functions.terms import OWL, RDF, RDFS
+    from shacl_dqa_prototype_spark.plans.constraints import (
+        DQAConfig,
+        compile_data_constraints,
+    )
+    from shacl_dqa_prototype_spark.plans.dqa import (
+        contextual_config_from_metadata,
+        run_metadata_dqa,
+    )
+    from shacl_dqa_prototype_spark.plans.profile import profile_graph
+    from shacl_dqa_prototype_spark.plans.scoring import score_plan
+    from shacl_dqa_prototype_spark.plans.vocab import (
+        mine_vocab,
+        profile_to_vocab_terms,
+        tbox_merge_rows,
+    )
+    from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+    from shacl_dqa_prototype_spark.sources.sinks import (
+        write_report_csv,
+        write_report_json,
+    )
+
+    spark = _spark(args)
+    if args.triples.endswith(".parquet") or os.path.isdir(args.triples):
+        from shacl_dqa_prototype_spark.sources.sinks import read_triples
+
+        try:
+            T_raw = read_triples(spark, args.triples)
+        except Exception:
+            T_raw = spark.read.parquet(args.triples)
+    else:
+        T_raw, _ = _read_rdf(spark, args.triples)
+
+    cfg = DQAConfig(
+        type_property=args.type_property or f"{RDF}type",
+        labeling_property=args.labeling_property or f"{RDFS}label",
+        description_property=args.description_property or f"{RDFS}comment",
+        interlinking_property=args.interlinking_property or f"{OWL}sameAs",
+        uris_max_length=args.uris_max_length,
+        base_uri=args.base_uri,
+    )
+    profile = profile_graph(T_raw, cfg.type_property, cfg.labeling_property,
+                            cfg.description_property, cfg.interlinking_property)
+
+    terms, disjoint = [], []
+    sub_pairs = None
+    T = T_raw
+    used_props = used_classes = None
+    if args.vocab:
+        vocab_rows = []
+        for vp in args.vocab:
+            _, rows = _read_rdf(spark, vp)
+            vocab_rows.extend(rows or [])
+        prof_v = mine_vocab(vocab_rows)
+        terms, disjoint = profile_to_vocab_terms(prof_v)
+        merged = tbox_merge_rows(vocab_rows, prof_v.classes)
+        T = T_raw.unionByName(
+            spark.createDataFrame(merged, TRIPLES_SCHEMA)).dropDuplicates()
+        # usage pruning stays on the RAW graph (reference semantics);
+        # sh:class follows the vocab subClassOf closure
+        usage = T_raw.agg(
+            F.collect_set("p").alias("props"),
+            F.collect_set(F.when(F.col("p") == cfg.type_property, F.col("o"))).alias("classes"),
+        ).first()
+        used_props, used_classes = set(usage["props"]), set(usage["classes"])
+        direct: dict[str, set] = {}
+        for (s, p, o, *_r) in vocab_rows:
+            if p == f"{RDFS}subClassOf":
+                direct.setdefault(s, set()).add(o)
+        pairs = set()
+        for start in direct:
+            stack, seen = list(direct[start]), set()
+            while stack:
+                anc = stack.pop()
+                if anc in seen:
+                    continue
+                seen.add(anc)
+                pairs.add((start, anc))
+                stack.extend(direct.get(anc, ()))
+        sub_pairs = sorted(pairs) or None
+
+    reports = []
+    if args.metadata:
+        metadata, _ = _read_rdf(spark, args.metadata)
+        cfg = contextual_config_from_metadata(metadata, cfg)
+        reports.append(run_metadata_dqa(spark, metadata))
+
+    plan = compile_data_constraints(
+        T, terms, disjoint, cfg, used_props=used_props,
+        used_classes=used_classes, subclass_pairs=sub_pairs)
+    plan.violations = plan.violations.cache()
+    reports.append(score_plan(spark, plan, profile, target="data"))
+
+    from functools import reduce
+
+    report = reduce(lambda a, b: a.unionByName(b), reports)
+    os.makedirs(args.output, exist_ok=True)
+    write_report_csv(report, os.path.join(args.output, "dq_report_csv"))
+    write_report_json(report, os.path.join(args.output, "dq_report_json"))
+    with open(os.path.join(args.output, "profile.json"), "w") as f:
+        json.dump(profile.as_dict(), f, indent=2)
+    n_rows = report.count()
+    print(json.dumps({"report_rows": n_rows, "output": args.output,
+                      "profile": profile.as_dict()}))
+
+
+def make_pyfiles(zip_path: str) -> None:
+    import zipfile
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(root, "shacl_dqa_prototype_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, root))
+    print(f"wrote {zip_path}")
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--make-pyfiles", metavar="ZIP", help="package for --py-files")
+    sub = ap.add_subparsers(dest="cmd")
+
+    def common(p):
+        p.add_argument("--master", default=None,
+                       help="core count or master URL (default: local[*])")
+        p.add_argument("--shuffle-partitions", type=int, default=None)
+
+    pc = sub.add_parser("construct", help="documents → triple table")
+    common(pc)
+    pc.add_argument("--docs", required=True, help="documents parquet path")
+    pc.add_argument("--dictionary", help="entity dictionary parquet path")
+    pc.add_argument("--workdir", required=True)
+    pc.add_argument("--buckets", type=int, default=32)
+    pc.add_argument("--no-resume", action="store_true")
+
+    pd_ = sub.add_parser("dqa", help="triple table → conformance report")
+    common(pd_)
+    pd_.add_argument("--triples", required=True,
+                     help="triple parquet dir OR RDF file (ttl/nt/xml)")
+    pd_.add_argument("--vocab", action="append", default=[],
+                     help="vocabulary file (repeatable)")
+    pd_.add_argument("--metadata", help="VoID metadata file")
+    pd_.add_argument("--output", required=True)
+    pd_.add_argument("--base-uri")
+    pd_.add_argument("--type-property")
+    pd_.add_argument("--labeling-property")
+    pd_.add_argument("--description-property")
+    pd_.add_argument("--interlinking-property")
+    pd_.add_argument("--uris-max-length", type=int, default=80)
+
+    args = ap.parse_args(argv)
+    if args.make_pyfiles:
+        make_pyfiles(args.make_pyfiles)
+        return
+    if args.cmd == "construct":
+        cmd_construct(args)
+    elif args.cmd == "dqa":
+        cmd_dqa(args)
+    else:
+        ap.print_help()
+        raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    main()

@@ -54,33 +54,82 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
-    """edges(src, dst) → mapping(node, component) with component = min
-    member of each component. Nodes not in any edge are absent (identity)."""
-    def _sig(df: DataFrame) -> tuple:
-        """Order-insensitive edge-set signature in ONE job: (count,
-        sum(hash), xor-ish second moment). Collision-safe enough for a
-        fixpoint test; replaces two anti-join jobs per iteration."""
-        row = df.select(
-            F.count("*").alias("n"),
-            # decimal sum: long would overflow under ANSI mode
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
-            F.sum(F.xxhash64("dst", "src", F.lit(7)).cast("decimal(38,0)")).alias("h2"),
-        ).first()
-        return (row["n"], row["h1"], row["h2"])
+def _driver_union_find(rows: list) -> list[tuple[str, str]]:
+    """Union-find with path compression; representative = min member.
+    Returns (node, component) rows for every non-representative node —
+    the same contract as the distributed fixpoint."""
+    parent: dict[str, str] = {}
 
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = []
+    for node in parent:
+        root = find(node)
+        if root != node:
+            out.append((node, root))
+    return out
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """edges(src, dst) → mapping(node, component) with component = min
+    member of each component. Nodes not in any edge are absent (identity).
+
+    ONE Spark job per iteration: the eager localCheckpoint both truncates
+    lineage (each round's plan references the previous result ~8×, so
+    without a per-round cut the tree grows 8^k and analysis OOMs) and —
+    via observe() riding the same materialization — yields the
+    order-insensitive edge-set signature (count + two hash sums,
+    collision-safe enough for a fixpoint test) with no extra action.
+
+    Adaptive small-graph path: equivalence-edge sets are usually a tiny
+    fraction of the corpus (only entities with sameAs evidence), and the
+    iterative loop costs ~1s of fixed driver/job overhead per round. When
+    the deduped edge set fits comfortably on the driver
+    (< ``driver_threshold`` rows ≈ tens of MB), a single collect + local
+    union-find replaces 4-6 distributed rounds; above it, the
+    large-star/small-star fixpoint runs — the path that scales to graphs
+    that never fit one machine."""
+    from pyspark.sql import Observation
+
+    spark = edges.sparkSession
     cur = _symmetrize(edges).localCheckpoint(eager=True)
-    prev_sig = _sig(cur)
-    for _ in range(max_iter):
+    n_edges = cur.count()
+    if n_edges <= driver_threshold:
+        rows = _driver_union_find(
+            [(r["src"], r["dst"]) for r in cur.collect()])
+        return spark.createDataFrame(rows, "node string, component string")
+    prev_sig = None
+    for i in range(max_iter):
         sym = _symmetrize(cur)
         after = _small_star(_large_star(sym).unionByName(sym).distinct())
-        after = after.localCheckpoint(eager=True)
-        cur_sig = _sig(after)
-        cur = after
+        obs = Observation(f"cc-{i}")
+        after = after.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # decimal sums: long would overflow under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("dst", "src", F.lit(7)).cast("decimal(38,0)")).alias("h2"),
+        )
+        cur = after.localCheckpoint(eager=True)  # one action per round
+        m = obs.get
+        cur_sig = (m["n"], m["h1"], m["h2"])
         if cur_sig == prev_sig:
             break
         prev_sig = cur_sig
-    # At fixpoint every edge is (node, component-min).
     return cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
 
 

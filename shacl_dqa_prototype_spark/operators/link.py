@@ -97,16 +97,23 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         F.coalesce("n_cands", F.lit(1)).alias("n_cands"),
     )
 
-    # shuffle 1 — context coherence over (doc_id, candidate)
-    coh_w = Window.partitionBy("doc_id", "candidate")
-    cands = cands.withColumn(
-        "coherence", F.max((F.col("n_cands") == 1).cast("double")).over(coh_w)
-    )
-
     # E4 — skew-safe popularity feature (two small shuffles, broadcast back)
     popularity = salted_docs_per_entity(cands)
 
-    scored = cands.join(F.broadcast(popularity), "candidate", "left").withColumn(
+    # THE one full shuffle of the mention stream: co-partition by doc_id.
+    # HashPartitioning(doc_id) satisfies ClusteredDistribution for BOTH the
+    # coherence window (doc_id, candidate) AND the final per-mention-key
+    # groupBy (key starts with doc_id), so neither adds another exchange —
+    # check .explain(): exactly one Exchange on this path.
+    cands = cands.join(F.broadcast(popularity), "candidate", "left").repartition(
+        F.col("doc_id")
+    )
+
+    # context coherence over (doc_id, candidate) — no extra shuffle
+    coh_w = Window.partitionBy("doc_id", "candidate")
+    scored = cands.withColumn(
+        "coherence", F.max((F.col("n_cands") == 1).cast("double")).over(coh_w)
+    ).withColumn(
         "score",
         F.col("prior")
         + 2.0 * F.col("coherence")

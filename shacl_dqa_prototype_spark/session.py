@@ -33,7 +33,10 @@ def get_spark(
             n = int(cores)  # type: ignore[arg-type]
         except (TypeError, ValueError):
             n = os.cpu_count() or 8
-        shuffle_partitions = max(8, 2 * n)
+        # 4× cores: finer tasks smooth stragglers on wide stages (measured
+        # ~15% faster at 8 cores on the 2M-doc construction); AQE coalesces
+        # the small shuffles back down, so there is no small-data penalty.
+        shuffle_partitions = max(8, 4 * n)
 
     builder = (
         SparkSession.builder.appName(app_name)

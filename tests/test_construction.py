@@ -69,10 +69,13 @@ def test_connected_components_basic(spark):
         [("b", "a"), ("c", "b"), ("e", "d"), ("x", "x2"), ("x2", "x3"), ("x3", "x4")],
         ["src", "dst"],
     )
-    m = {r["node"]: r["component"] for r in connected_components(edges).collect()}
-    assert m["b"] == "a" and m["c"] == "a"
-    assert m["e"] == "d"
-    assert m["x2"] == "x" and m["x3"] == "x" and m["x4"] == "x"
+    expected = {"b": "a", "c": "a", "e": "d", "x2": "x", "x3": "x", "x4": "x"}
+    # small-graph driver union-find path and distributed large-star/
+    # small-star fixpoint (forced via driver_threshold=0) must agree
+    for thresh in (2_000_000, 0):
+        m = {r["node"]: r["component"]
+             for r in connected_components(edges, driver_threshold=thresh).collect()}
+        assert m == expected, f"threshold={thresh}: {m}"
 
 
 def test_canonicalization_merges_dups(spark, docs, dictionary, tmp_path):
