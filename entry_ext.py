@@ -434,6 +434,54 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decode_features(materialize_media(explode_spans(_interleaved(s, d)))),
         every_n=60)
 
+    # --- Structured Streaming ingest: drain-the-backlog extraction over the
+    # same interleaved docs; availableNow makes it deterministic, so it
+    # shares the kg_extract_mentions oracle.
+    def streaming_extract(spark, sf_dir):
+        import tempfile
+
+        from shacl_dqa_prototype_spark.streaming.ingest import (
+            start_incremental_extraction,
+        )
+
+        base = tempfile.mkdtemp(prefix="stream_")
+        _interleaved(spark, sf_dir).write.mode("overwrite").parquet(base + "/in")
+        qy = start_incremental_extraction(
+            spark, base + "/in", base + "/out", base + "/ckpt",
+            available_now=True)
+        qy.awaitTermination()
+        return spark.read.parquet(base + "/out").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "subj_surface", "pred", "obj_surface")
+    q["kg_streaming_extract"] = streaming_extract
+
+    # --- A1: distributed N-Triples scan, oracled via round-trip ------------
+    def rdf_roundtrip(spark, sf_dir):
+        """Serialize the core triple view to N-Triples text, re-parse it
+        with the distributed NT reader (mapInPandas regex shredder), and
+        return the triples — the oracle is the original view itself."""
+        import tempfile
+
+        from shacl_dqa_prototype_spark.sources.rdf import read_ntriples
+
+        import __spark_entry__ as core
+
+        T = core._triples(spark, sf_dir)
+        line = F.concat(
+            F.lit("<"), F.col("s"), F.lit("> <"), F.col("p"), F.lit("> "),
+            F.when(F.col("o_kind") == "iri",
+                   F.concat(F.lit("<"), F.col("o"), F.lit(">")))
+            .when(F.col("o_dtype").isNotNull(),
+                  F.concat(F.lit('"'), F.col("o"), F.lit('"^^<'),
+                           F.col("o_dtype"), F.lit(">")))
+            .otherwise(F.concat(F.lit('"'), F.col("o"), F.lit('"'))),
+            F.lit(" ."),
+        )
+        out = tempfile.mkdtemp(prefix="ntrt_")
+        T.select(line.alias("value")).write.mode("overwrite").text(out)
+        return read_ntriples(spark, out).select("s", "p", "o", "o_kind", "o_dtype")
+    q["rdf_ntriples_roundtrip"] = rdf_roundtrip
+
     # --- embedding-cosine near-dup (LSH candidate + exact verify) ----------
     def emb_neardup(spark, sf_dir):
         emb = _emb(spark, sf_dir)
@@ -674,6 +722,13 @@ def ext_oracles() -> dict[str, str]:
       ('vocab:p2', 'UndefinedProperty', NULL, 0.8, 1)
     ) AS t(target, metric, item, m, nv)"""
 
+    # A1: the round-trip must reproduce the original triple view exactly
+    from __spark_entry__ import TRIPLES_SQL as _CORE_TRIPLES_SQL
+
+    o["rdf_ntriples_roundtrip"] = f"""
+    WITH triples AS ({_CORE_TRIPLES_SQL})
+    SELECT s, p, o, o_kind, o_dtype FROM triples"""
+
     # E1: flat rows re-derived directly from the raw documents table.
     o["kg_span_explode"] = """
     SELECT doc_id, 0 AS span_pos, 'text' AS kind,
@@ -701,6 +756,9 @@ def ext_oracles() -> dict[str, str]:
     SELECT doc_id, concat('D', doc_id) AS subj_surface,
            '{P_LOCATED_IN}' AS pred, upper(source) AS obj_surface
     FROM documents"""
+
+    # deterministic availableNow drain ⇒ identical to batch extraction
+    o["kg_streaming_extract"] = o["kg_extract_mentions"]
 
     # E3/E4: unlinked subject surfaces mint sha256-prefix IRIs; object
     # surfaces resolve through the dictionary.
