@@ -41,7 +41,10 @@ RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 # Violation seeding is arithmetic (key mod N) so both engines agree exactly.
 # ---------------------------------------------------------------------------
 TRIPLES_SQL = f"""
-SELECT DISTINCT * FROM (
+SELECT * FROM (
+  -- branches are pairwise-disjoint (distinct predicate/key domains), so
+  -- no outer DISTINCT: it would cost a full shuffle for a no-op
+
   SELECT concat('urn:order:', o_orderkey) AS s, 'rdf:type' AS p,
          'urn:c:Order' AS o, 'iri' AS o_kind,
          CAST(NULL AS STRING) AS o_dtype, CAST(NULL AS STRING) AS o_lang
@@ -83,7 +86,7 @@ SELECT DISTINCT * FROM (
   UNION ALL SELECT concat('urn:nation:', (n_nationkey + 1) % 25),
          'urn:p:follows', concat('urn:nation:', n_nationkey), 'iri', NULL, NULL
   FROM nation WHERE n_nationkey < 12
-  UNION ALL SELECT concat('urn:cust:', o_custkey), 'urn:p:refs',
+  UNION ALL SELECT DISTINCT concat('urn:cust:', o_custkey), 'urn:p:refs',
          concat('urn:cust:', CASE WHEN o_orderkey % 7 = 0
                                   THEN o_custkey ELSE o_custkey + 1 END),
          'iri', NULL, NULL FROM orders

@@ -73,7 +73,9 @@ PART_S = """CASE WHEN p_partkey % 17 = 0 THEN concat('urn:d2:part?id=', p_partke
      ELSE concat('urn:d2:part/', p_partkey) END"""
 
 TRIPLES2_SQL = f"""
-SELECT DISTINCT * FROM (
+SELECT * FROM (
+  -- branches are pairwise-disjoint; no outer DISTINCT needed
+
   SELECT {PART_S} AS s, 'rdf:type' AS p, 'urn:c2:Part' AS o,
          'iri' AS o_kind, CAST(NULL AS STRING) AS o_dtype,
          CAST(NULL AS STRING) AS o_lang
@@ -434,6 +436,31 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decode_features(materialize_media(explode_spans(_interleaved(s, d)))),
         every_n=60)
 
+    # --- dedup clustering: pair edges → connected components → canonical
+    # doc per cluster. Input seeds exact duplicates (shifted-id copies of
+    # every 10th doc) so the oracle can re-derive the clusters.
+    def dedup_cluster(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.dedup import (
+            dedup_clusters,
+            normalize_text,
+        )
+
+        d = _docs_flat(spark, sf_dir).select("doc_id", "text")
+        dup = d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        docs = d.unionByName(dup).select(
+            F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("doc_id"),
+            "text")
+        withh = docs.select("doc_id", F.md5(normalize_text("text")).alias("h"))
+        grp = withh.groupBy("h").agg(F.min("doc_id").alias("canon"),
+                                     F.count("*").alias("n"))
+        pairs = (withh.join(grp.filter(F.col("n") > 1), "h")
+                 .filter(F.col("doc_id") != F.col("canon"))
+                 .select(F.col("canon").alias("doc_a"),
+                         F.col("doc_id").alias("doc_b")))
+        return dedup_clusters(pairs)
+    q["dedup_cluster_exact"] = dedup_cluster
+
     # --- Structured Streaming ingest: drain-the-backlog extraction over the
     # same interleaved docs; availableNow makes it deterministic, so it
     # shares the kg_extract_mentions oracle.
@@ -481,6 +508,16 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         T.select(line.alias("value")).write.mode("overwrite").text(out)
         return read_ntriples(spark, out).select("s", "p", "o", "o_kind", "o_dtype")
     q["rdf_ntriples_roundtrip"] = rdf_roundtrip
+
+    # --- IVF ANN (KMeans coarse quantizer + cell probing); rows-only -------
+    def ivf(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.similarity import ivf_topk
+
+        emb = _emb(spark, sf_dir)
+        qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10).select(
+            "vec_id", F.round("cosine", 3).alias("cosine"))
+    q["sim_ann_ivf"] = ivf
 
     # --- embedding-cosine near-dup (LSH candidate + exact verify) ----------
     def emb_neardup(spark, sf_dir):
@@ -759,6 +796,24 @@ def ext_oracles() -> dict[str, str]:
 
     # deterministic availableNow drain ⇒ identical to batch extraction
     o["kg_streaming_extract"] = o["kg_extract_mentions"]
+
+    # cluster members map to the lexicographic-min member (zero-padded ids
+    # make that the original doc); representatives have no row. Exact dups
+    # can also collide when two docs share identical text — group by the
+    # text digest, not the id-pairing rule.
+    o["dedup_cluster_exact"] = """
+    WITH all_docs AS (
+      SELECT lpad(CAST(doc_id AS VARCHAR), 9, '0') AS doc_id,
+             md5(lower(trim(text))) AS h FROM documents
+      UNION ALL
+      SELECT lpad(CAST(doc_id + 1000000 AS VARCHAR), 9, '0'),
+             md5(lower(trim(text)))
+      FROM documents WHERE doc_id % 10 = 0),
+    grp AS (SELECT h, min(doc_id) AS canonical, count(*) AS n
+            FROM all_docs GROUP BY h)
+    SELECT a.doc_id, g.canonical
+    FROM all_docs a JOIN grp g ON a.h = g.h
+    WHERE g.n > 1 AND a.doc_id <> g.canonical"""
 
     # E3/E4: unlinked subject surfaces mint sha256-prefix IRIs; object
     # surfaces resolve through the dictionary.

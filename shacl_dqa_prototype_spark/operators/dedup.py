@@ -160,6 +160,44 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+) -> DataFrame:
+    """Duplicate-pair edges → clusters via connected components;
+    returns (doc_id, canonical) where canonical = min doc id of the
+    cluster (the row to KEEP; non-canonical members are the drop set).
+    Composes with any pair generator above (exact, Jaccard, MinHash-LSH,
+    SimHash, embedding near-dup)."""
+    from pyspark.sql.types import StringType
+
+    from shacl_dqa_prototype_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = pairs.select(
+        F.col(a_col).cast(StringType()).alias("src"),
+        F.col(b_col).cast(StringType()).alias("dst"),
+    )
+    return connected_components(edges).withColumnsRenamed(
+        {"node": "doc_id", "component": "canonical"})
+
+
+def exact_duplicate_clusters(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Exact-dup clustering end-to-end: hash-group pair edges → CC →
+    (doc_id, canonical). Equivalent to groupBy(digest).min(id) — which is
+    exactly what makes it independently oracle-checkable."""
+    withh = docs.select(F.col(id_col).alias("doc_id"),
+                        F.md5(normalize_text(text_col)).alias("h"))
+    canon = withh.groupBy("h").agg(F.min("doc_id").alias("canonical"),
+                                   F.count("*").alias("n"))
+    return (
+        withh.join(canon.filter(F.col("n") > 1), "h")
+        .filter(F.col("doc_id") != F.col("canonical"))
+        .select("doc_id", "canonical")
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash: per token, each bit votes ±1 by xxhash64(token) bit;
     fingerprint bit j = sign of vote sum. One explode + one groupBy with 64

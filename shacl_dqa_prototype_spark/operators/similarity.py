@@ -94,6 +94,37 @@ def ann_topk(
     return cosine_topk(bucket, query_vec, k, id_col, vec_col)
 
 
+def ivf_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_cells: int = 16, n_probe: int = 2, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
+    cells; a query probes only the ``n_probe`` nearest cells and runs the
+    exact cosine top-k inside them. The scale path for 100 TB: cells map
+    to partitions, the centroid table is broadcast, and a query touches
+    n_probe/n_cells of the data. Seeded KMeans keeps results reproducible."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, maxIter=5).fit(feat)
+    centers = model.clusterCenters()
+
+    def cos(a, b) -> float:
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(float(y) * float(y) for y in b)) or 1.0
+        return num / (na * nb)
+
+    probe = sorted(range(len(centers)),
+                   key=lambda i: -cos(query_vec, centers[i]))[:n_probe]
+    bucket = model.transform(feat).filter(F.col("prediction").isin(probe))
+    return cosine_topk(bucket.drop("features", "prediction"),
+                       query_vec, k, id_col, vec_col)
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95, dim: int = 64,
     n_planes: int = 12, seed: int = 42,
