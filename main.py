@@ -175,6 +175,15 @@ def cmd_dqa(args) -> None:
         cfg = contextual_config_from_metadata(metadata, cfg)
         reports.append(run_metadata_dqa(spark, metadata))
 
+    if args.vocab and used_classes is not None:
+        from shacl_dqa_prototype_spark.plans.dqa import run_vocab_dqa
+
+        for vp in args.vocab:
+            _, rows = _read_rdf(spark, vp)
+            name = os.path.splitext(os.path.basename(vp))[0]
+            reports.append(run_vocab_dqa(spark, name, rows or [],
+                                         used_classes, used_props))
+
     plan = compile_data_constraints(
         T, terms, disjoint, cfg, used_props=used_props,
         used_classes=used_classes, subclass_pairs=sub_pairs)
@@ -187,6 +196,14 @@ def cmd_dqa(args) -> None:
     os.makedirs(args.output, exist_ok=True)
     write_report_csv(report, os.path.join(args.output, "dq_report_csv"))
     write_report_json(report, os.path.join(args.output, "dq_report_json"))
+    # reference-shaped 15-column rollup CSV (dq_assessment.py:1283-1290)
+    from shacl_dqa_prototype_spark.plans.report_csv import (
+        reference_csv_rows,
+        write_reference_csv,
+    )
+
+    write_reference_csv(reference_csv_rows(report.collect()),
+                        os.path.join(args.output, "dq_assessment.csv"))
     with open(os.path.join(args.output, "profile.json"), "w") as f:
         json.dump(profile.as_dict(), f, indent=2)
     n_rows = report.count()

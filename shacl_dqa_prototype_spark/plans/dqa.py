@@ -65,6 +65,46 @@ def run_metadata_dqa(
     )
 
 
+def run_vocab_dqa(
+    spark: SparkSession,
+    vocab_name: str,
+    vocab_rows: list[tuple],
+    used_classes: set[str],
+    used_props: set[str],
+) -> DataFrame:
+    """C37-C40 for one vocabulary, against its self-typed graph
+    (utils.py:771-785) with namespace routing (dq_assessment.py:176-199).
+    Produces the vocab-target report rows."""
+    from shacl_dqa_prototype_spark.functions.terms import RDF, RDFS
+    from shacl_dqa_prototype_spark.plans.vocab import (
+        mine_vocab,
+        tbox_self_typing_rows,
+    )
+    from shacl_dqa_prototype_spark.plans.vocab_shapes import (
+        compile_vocab_constraints,
+        score_vocab_plan,
+    )
+    from shacl_dqa_prototype_spark.plans.constraints import VocabTerm
+
+    rdf_type = f"{RDF}type"
+    prof_v = mine_vocab(vocab_rows)
+    typed = tbox_self_typing_rows(vocab_rows)
+    classes_all = sorted({s for (s, p, o, *_r) in typed
+                          if p == rdf_type and o == f"{RDFS}Class"})
+    props_all = sorted({s for (s, p, o, *_r) in typed
+                        if p == rdf_type and o == f"{RDF}Property"})
+    labeled = {s for (s, p, o, *_r) in vocab_rows if p == f"{RDFS}label"}
+    vterms = ([VocabTerm(c, "class") for c in classes_all]
+              + [VocabTerm(p, "object_property") for p in props_all])
+    plan = compile_vocab_constraints(
+        spark, vocab_name, prof_v.namespace, vterms,
+        {t: True for t in labeled}, used_classes, used_props)
+    return score_vocab_plan(
+        spark, vocab_name, plan,
+        n_classes=prof_v.num_all_classes + len(prof_v.other_classes),
+        n_properties=prof_v.num_all_properties + len(prof_v.other_properties))
+
+
 def contextual_config_from_metadata(metadata: DataFrame, cfg: DQAConfig) -> DQAConfig:
     """The reference reads the metadata results to decide whether to emit
     the uriRegex/uriSpace data shapes (shacl_shape_builder.py:63-77)."""

@@ -113,26 +113,13 @@ def subclass_closure(vocab_rows) -> list[tuple[str, str]]:
 def vocab_report(spark, vocab_rows, prof_v, T_raw):
     """C37-C40 against the self-typed vocab graph, mirroring
     dq_assessment.py:171-229 (namespace routing + derived typing)."""
-    typed = tbox_self_typing_rows(vocab_rows)
-    classes_all = sorted({s for (s, p, o, *_r) in typed
-                          if p == RDF_TYPE and o == f"{RDFS}Class"})
-    props_all = sorted({s for (s, p, o, *_r) in typed
-                        if p == RDF_TYPE and o == f"{RDF}Property"})
-    labeled = {s for (s, p, o, *_r) in vocab_rows if p == f"{RDFS}label"}
-    term_labels = {t: True for t in labeled}
+    from shacl_dqa_prototype_spark.plans.dqa import run_vocab_dqa
 
-    vterms = ([VocabTerm(c, "class") for c in classes_all]
-              + [VocabTerm(p, "object_property") for p in props_all])
     used_classes = {r["o"] for r in T_raw.filter(F.col("p") == RDF_TYPE)
                     .select("o").distinct().collect()}
     used_props = {r["p"] for r in T_raw.select("p").distinct().collect()}
-    plan = compile_vocab_constraints(
-        spark, "pizza_owl", prof_v.namespace, vterms, term_labels,
-        used_classes, used_props)
-    return score_vocab_plan(
-        spark, "pizza_owl", plan,
-        n_classes=prof_v.num_all_classes + len(prof_v.other_classes),
-        n_properties=prof_v.num_all_properties + len(prof_v.other_properties))
+    return run_vocab_dqa(spark, "pizza_owl", vocab_rows,
+                         used_classes, used_props)
 
 
 def compare(report, md_report, vrep) -> list[str]:
@@ -233,11 +220,56 @@ def compare(report, md_report, vrep) -> list[str]:
     return errors
 
 
+def _norm_name(name: str) -> str:
+    """Family rows are '<Metric>Shape'; a single-member family keeps its
+    '_<idx>' suffix in the reference CSV — normalize both forms."""
+    base = name.rsplit("_", 1)[0] if name and name[-1].isdigit() else name
+    return base[:-5] if base.endswith("Shape") else base
+
+
+def compare_csv(report, md_report, vrep) -> list[str]:
+    """CSV-level parity: our reference-shaped rollup rows vs the committed
+    dq_assessment_pizza.csv (score + num_violations per family row)."""
+    import csv
+
+    from shacl_dqa_prototype_spark.plans.report_csv import (
+        CSV_NAME_OVERRIDES,
+        reference_csv_rows,
+    )
+
+    rows = (report.collect() + md_report.collect() + vrep.collect())
+    ours = reference_csv_rows(rows)
+    inv = {v: k for k, v in CSV_NAME_OVERRIDES.items()}
+    got = {}
+    for r in ours:
+        name = _norm_name(str(r["shape_name"]))
+        got[inv.get(r["shape_name"], name)] = (
+            float(r["score"]), int(r["num_violations"]))
+
+    errors = []
+    with open(f"{PIZZA}/results/dq_assessment_pizza.csv") as f:
+        for row in csv.DictReader(f):
+            name = _norm_name(row["shape_name"])
+            name = inv.get(row["shape_name"], name)
+            g_score = float(row["score"])
+            g_nv = int(row["num_violations"] or 0)
+            if name not in got:
+                errors.append(f"CSV MISSING {name}")
+                continue
+            score, nv = got[name]
+            if abs(score - g_score) > 1e-9:
+                errors.append(f"CSV SCORE {name}: ours={score} golden={g_score}")
+            if nv != g_nv:
+                errors.append(f"CSV NV {name}: ours={nv} golden={g_nv}")
+    return errors
+
+
 def main() -> int:
     spark = get_spark("pizza-parity", cores=8, shuffle_partitions=8)
     report, md_report, (vocab_rows, prof_v, T_raw) = build_report(spark)
     vrep = vocab_report(spark, vocab_rows, prof_v, T_raw)
     errors = compare(report, md_report, vrep)
+    errors += compare_csv(report, md_report, vrep)
     for e in errors:
         print(e)
     print(f"{'PARITY OK' if not errors else 'MISMATCHES'}: {len(errors)} errors")
