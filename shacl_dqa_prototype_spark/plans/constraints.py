@@ -437,17 +437,28 @@ def compile_data_constraints(
         else:  # rdf_property
             if t.range_kind == "literal":
                 (rng_nk_literal if t.range == f"{RDFS}Literal" else rng_dt).append(t)
-            elif t.range == OWL_THING:
-                rng_nk_bi.append(t)
-            elif t.range != f"{RDFS}Resource":
+            else:
+                # Reference parity (shacl_shape_builder.py:450-455): the
+                # rdf_property branch compares info['range'] (a dict) to the
+                # owl:Thing / rdfs:Resource strings — always false — so it
+                # ALWAYS emits sh:class for class-kind ranges, including
+                # owl:Thing and rdfs:Resource. nodeKind routing applies to
+                # object_property terms only (builder:330-336).
                 rng_cls.append(t)
     if rng_dt:
         dt_df = spark.createDataFrame(
             [(t.term, t.range) for t in rng_dt], ["p", "range"])
         vals = T.join(F.broadcast(dt_df), "p")
         # plain literals carry xsd:string (RDF 1.1); lang-tagged carry
-        # rdf:langString — both already explicit in o_dtype or defaulted.
-        eff_dtype = F.coalesce(F.col("o_dtype"), F.lit(f"{XSD}string"))
+        # rdf:langString. All in-repo parsers set o_dtype for lang-tagged
+        # literals, but user-supplied triple DataFrames may leave it NULL —
+        # coalesce through o_lang so such literals never masquerade as
+        # xsd:string (they'd escape CorrectRange/MalformedLiteral).
+        eff_dtype = F.coalesce(
+            F.col("o_dtype"),
+            F.when(F.col("o_lang").isNotNull(), F.lit(RDF_LANGSTRING)),
+            F.lit(f"{XSD}string"),
+        )
         is_langstring = F.when(
             F.col("range") == RDF_LANGSTRING,
             (F.col("o_kind") != "literal") | F.col("o_lang").isNull(),

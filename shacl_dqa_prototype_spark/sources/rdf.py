@@ -72,13 +72,19 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
             o = sub["o_iri"].fillna(sub["o_bn"]).fillna(
                 sub["o_lit"].map(lambda x: _unescape(x) if isinstance(x, str) else x)
             )
+            # lang-tagged literals are rdf:langString (RDF 1.1), mirroring
+            # parse_turtle/parse_rdfxml — otherwise a lang-tagged literal
+            # loaded from .nt would default to xsd:string downstream and
+            # escape CorrectRange/MalformedLiteral, diverging from the
+            # reference (pySHACL types it rdf:langString).
+            o_dtype = sub["dt"].where(sub["lang"].isna(), f"{RDF_NS}langString")
             yield pd.DataFrame(
                 {
                     "s": sub["s_iri"].fillna(sub["s_bn"]),
                     "p": sub["p"],
                     "o": o,
                     "o_kind": o_kind,
-                    "o_dtype": sub["dt"],
+                    "o_dtype": o_dtype,
                     "o_lang": sub["lang"],
                 }
             )

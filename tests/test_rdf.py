@@ -40,7 +40,8 @@ def test_ntriples_roundtrip(spark, tmp_path):
     rows = {tuple(r) for r in read_ntriples(spark, str(p)).collect()}
     assert (f"{EX}a", f"{EX}knows", f"{EX}b", "iri", None, None) in rows
     assert (f"{EX}a", f"{EX}name", "Alice", "literal", None, None) in rows
-    assert (f"{EX}a", f"{EX}name", "Alicia", "literal", None, "es") in rows
+    assert (f"{EX}a", f"{EX}name", "Alicia", "literal",
+            f"{RDF_NS}langString", "es") in rows
     assert (f"{EX}a", f"{EX}age", "42", "literal", f"{XSD_NS}integer", None) in rows
     assert ("_:b1", f"{EX}knows", "_:b2", "bnode", None, None) in rows
     assert (f"{EX}a", f"{EX}quote", 'say "hi"\n', "literal", None, None) in rows
