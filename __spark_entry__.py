@@ -147,20 +147,27 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-_V1_CACHE: dict[tuple[int, str], DataFrame] = {}
+_V1_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _plan(spark: SparkSession, sf_dir: str):
+    """Compile the constraint plan once per (session, sf_dir); its cached
+    violations DF is shared by every shape query AND by dqa_scores (which
+    would otherwise pay a full re-evaluation just to score)."""
+    key = (id(spark), sf_dir)
+    if key not in _V1_CACHE:
+        plan = compile_data_constraints(
+            _triples(spark, sf_dir), ENTRY_VOCAB, ENTRY_DISJOINT, ENTRY_CFG)
+        plan.violations = plan.violations.cache()
+        _V1_CACHE[key] = plan
+    return _V1_CACHE[key]
 
 
 def _violations(spark: SparkSession, sf_dir: str, metric: str,
                 with_item: bool = False, item: str | None = None) -> DataFrame:
     """Run the REAL compiled constraint plan; project one metric's distinct
-    violation set (the oracle re-derives the same set from raw tables).
-    The compiled+cached violations DF is shared across all shape queries."""
-    key = (id(spark), sf_dir)
-    if key not in _V1_CACHE:
-        plan = compile_data_constraints(
-            _triples(spark, sf_dir), ENTRY_VOCAB, ENTRY_DISJOINT, ENTRY_CFG)
-        _V1_CACHE[key] = plan.violations.cache()
-    v = _V1_CACHE[key].filter(F.col("metric") == metric)
+    violation set (the oracle re-derives the same set from raw tables)."""
+    v = _plan(spark, sf_dir).violations.filter(F.col("metric") == metric)
     if item is not None:
         v = v.filter(F.col("item") == item)
     cols = ["item", "focus"] if with_item else ["focus"]
@@ -239,7 +246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- D: scoring ---------------------------------------------------------
     def dqa_scores(spark, sf_dir):
         rep = run_data_dqa(_triples(spark, sf_dir), ENTRY_VOCAB,
-                           ENTRY_DISJOINT, ENTRY_CFG)
+                           ENTRY_DISJOINT, ENTRY_CFG,
+                           plan=_plan(spark, sf_dir))
         return rep.filter(
             F.col("metric").isin("FunctionalProperty", "LabelForEntities",
                                  "UsageHashURIsEntities")

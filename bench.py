@@ -51,6 +51,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
+    "text_fingerprint",
     "sim_topk_cosine",
     "tpch_q1_pricing",
     "top_customer_per_nation",
@@ -58,15 +59,63 @@ HEADLINE = [
 ]
 
 
-def _run_queries(spark) -> dict[str, float]:
+def _run_queries(spark) -> tuple[dict[str, float], float]:
+    """Returns (per-query seconds, setup seconds). Setup = materializing
+    the shared cached triple view and the compiled violations cache —
+    one-time costs that would otherwise be charged to whichever query
+    happens to run first, making per-query numbers unattributable."""
     qs = entrymod.queries()
+    t0 = time.time()
+    entrymod._triples(spark, SF_DIR).count()
+    entrymod._plan(spark, SF_DIR).violations.count()
+    setup = round(time.time() - t0, 3)
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
-    return times
+    return times, setup
+
+
+def _fingerprint_micro() -> dict[str, float]:
+    """Long-doc corpus micro-benchmark of the vectorized fingerprint
+    kernel vs the scalar rolling-hash reference it replaced (identical
+    outputs, asserted in tests/test_ops.py). No Spark involved — this
+    measures per-core kernel throughput."""
+    import random
+
+    import pandas as pd
+
+    from shacl_dqa_prototype_spark.operators.textstats import (
+        _fingerprint_batch,
+    )
+    from tests.test_ops import _rolling_fp_reference
+
+    random.seed(3)
+    alphabet = "abcdefgh ijklm NOP.,?"
+    docs = ["".join(random.choice(alphabet) for _ in range(20000))
+            for _ in range(100)]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    mb = sum(len(d) for d in docs) / 1e6
+    _fingerprint_batch(pdf, "text", 16)  # warm
+    new = min(_timed(lambda: _fingerprint_batch(pdf, "text", 16))
+              for _ in range(3))
+    old = min(_timed(lambda: [_rolling_fp_reference(d, 16) for d in docs])
+              for _ in range(2))
+    return {
+        "corpus_mb": round(mb, 1),
+        "vectorized_sec": round(new, 3),
+        "python_rolling_sec": round(old, 3),
+        "mbps": round(mb / new, 1),
+        "speedup": round(old / new, 1),
+    }
+
+
+def _timed(f) -> float:
+    t0 = time.time()
+    f()
+    return time.time() - t0
 
 
 def _materialize_corpus(n_docs: int) -> tuple[str, "GenConfig"]:
@@ -141,7 +190,7 @@ def main() -> None:
 
     spark = get_spark("bench", cores=CPUS)
     t0 = time.time()
-    times = _run_queries(spark)
+    times, setup = _run_queries(spark)
     total = round(time.time() - t0, 3)
     spark.stop()
 
@@ -161,8 +210,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "setup_sec": setup,
         "sf": sf,
         "construction": construction,
+        "fingerprint_longdoc": _fingerprint_micro(),
     }
 
     if do_scaling:
@@ -176,13 +227,16 @@ def main() -> None:
         # is 8M docs (~29M triples) so compute dominates the ~30s fixed
         # per-stage overhead; hi/lo/hi interleave, best per config.
         # Takes ~30 min. Measured 0.848 (see BASELINE.md).
+        # Symmetric evidence: hi/lo interleaved x2, best PER CONFIG, so
+        # host-noise spikes can't bias the efficiency either way.
         lo_cores, hi_cores = 2, 8
         n_sc = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 8_000_000))
         sc_dir, sc_cfg = _materialize_corpus(n_sc)
         hi1, sc_n = _construction_run(hi_cores, sc_dir, sc_cfg, with_dqa=True)
-        lo_best, _ = _construction_run(lo_cores, sc_dir, sc_cfg, with_dqa=True)
+        lo1, _ = _construction_run(lo_cores, sc_dir, sc_cfg, with_dqa=True)
         hi2, _ = _construction_run(hi_cores, sc_dir, sc_cfg, with_dqa=True)
-        hi_best = min(hi1, hi2)
+        lo2, _ = _construction_run(lo_cores, sc_dir, sc_cfg, with_dqa=True)
+        hi_best, lo_best = min(hi1, hi2), min(lo1, lo2)
         out["scaling"] = {
             "mode": "strong end-to-end (construct+DQA), same input, 2 vs 8 cores",
             "cores_lo": lo_cores,

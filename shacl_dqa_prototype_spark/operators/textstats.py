@@ -87,37 +87,332 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.select("doc_id", best.alias("lang_pred"))
 
 
+_FP_MOD = (1 << 61) - 1  # Mersenne prime: x mod M = (x & M) + (x >> 61)
+_FP_BASE = 257
+
+
+def _np_mulmod(a, b):
+    """Vectorized (a * b) mod 2^61-1 for uint64 arrays a, b < M.
+
+    Splits both operands into 31/30-bit limbs so every partial product
+    fits uint64, then folds with the Mersenne identities 2^61 ≡ 1,
+    2^62 ≡ 2 (mod M)."""
+    import numpy as np
+
+    # NB: scalar operands are plain Python ints on purpose — a np.uint64
+    # scalar forces numpy onto a ~100x slower ufunc path for >>/& on
+    # uint64 arrays, while int scalars keep the dtype and the fast loop.
+    M = _FP_MOD
+    MASK31 = (1 << 31) - 1
+    MASK30 = (1 << 30) - 1
+    a1, a0 = a >> 31, a & MASK31
+    b1, b0 = b >> 31, b & MASK31
+    # a*b = a1*b1*2^62 + (a1*b0 + a0*b1)*2^31 + a0*b0
+    m = a1 * b0 + a0 * b1                      # < 2^62
+    m = (m & M) + (m >> 61)
+    m = np.where(m >= M, m - M, m)             # < M
+    mid = ((m & MASK30) << 31) + (m >> 30)     # m*2^31 mod M
+    hi2 = (a1 * b1) << 1                       # a1*b1*2^62 ≡ 2*a1*b1, < 2^61
+    lo = a0 * b0                               # < 2^62
+    lo = (lo & M) + (lo >> 61)
+    r = hi2 + mid + lo                         # < 2^63
+    r = (r & M) + (r >> 61)
+    return np.where(r >= M, r - M, r)
+
+
+def _np_powmod_table(base: int, k: int):
+    """[base^0, …, base^k] mod 2^61-1 as uint64, via O(log k) blocked
+    doubling (each block is one vectorized mulmod)."""
+    import numpy as np
+
+    P = np.empty(k + 1, dtype=np.uint64)
+    P[0] = 1
+    filled = 1
+    b = np.array([base % _FP_MOD], dtype=np.uint64)
+    while filled <= k:
+        anchor = _np_mulmod(P[filled - 1 : filled], b)  # base^filled
+        take = min(filled, k + 1 - filled)
+        P[filled : filled + take] = _np_mulmod(P[:take], anchor)
+        filled += take
+    return P
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling (Karp–Rabin) hash
-    over character windows. Vectorized pandas UDF (polynomial rolling hash
-    has a sequential dependency the SQL layer can't express)."""
+    over `window`-byte character windows (full-string hash for shorter
+    docs, 0 for empty). Fully numpy-vectorized over the flat concatenated
+    batch bytes — no per-character (or even per-document) Python loop in
+    the hash path: window hash(i) = (C[i+w-1] - C[i-1]) · BASE^-(end-i-w)
+    from one split-limb prefix-sum over positional digits
+    s[j]·BASE^(end-1-j), then a per-document `minimum.reduceat`."""
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        MOD = (1 << 61) - 1
-        BASE = 257
         for pdf in batches:
-            outs = []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                s = (text or "").encode("utf-8")
-                if len(s) < window:
-                    outs.append((doc_id, hash_bytes(s, MOD, BASE)))
-                    continue
-                h = hash_bytes(s[:window], MOD, BASE)
-                best = h
-                top = pow(BASE, window - 1, MOD)
-                for i in range(window, len(s)):
-                    h = ((h - s[i - window] * top) * BASE + s[i]) % MOD
-                    if h < best:
-                        best = h
-                outs.append((doc_id, best))
-            yield pd.DataFrame(outs, columns=["doc_id", "fingerprint"])
-
-    def hash_bytes(b: bytes, MOD: int, BASE: int) -> int:
-        h = 0
-        for ch in b:
-            h = (h * BASE + ch) % MOD
-        return h
+            yield _fingerprint_batch(pdf, text_col, window)
 
     return docs.select("doc_id", text_col).mapInPandas(
         fp, schema="doc_id long, fingerprint long"
     )
+
+
+# Docs are processed in ~1 MB groups so the dozen flat intermediates stay
+# cache-resident — the kernel is memory-bandwidth-bound, and DRAM-sized
+# temporaries cost ~5x over cache-sized ones.
+_FP_CHUNK = 1 << 17
+
+
+class _FpScratch:
+    """Reusable chunk-sized buffers for _fp_kernel. Without these, every
+    numpy temporary is a fresh ≥256 KB allocation that glibc serves via
+    mmap/munmap — the page-fault churn costs ~4x more than the arithmetic."""
+
+    def __init__(self, cap: int):
+        import numpy as np
+
+        self.cap = cap
+        self.idx = np.arange(cap, dtype=np.int64)
+        self.i64 = [np.empty(cap, dtype=np.int64) for _ in range(2)]
+        self.u64 = [np.empty(cap, dtype=np.uint64) for _ in range(9)]
+
+
+def _fp_kernel_uniform(S8, ne_lens, window: int, PR, PIR1, PIR0, cap, sc):
+    """Fast path of _fp_kernel for chunks where every doc is ≥ window
+    bytes: digits use a CHUNK-global exponent BASE^(Lc-1-j), so the
+    pre-reversed power and inverse-power tables are read as forward
+    contiguous views — no gathers, no np.repeat, no per-position index
+    arrays. Doc boundaries only surface in the final paired-reduceat
+    ranges (windows that straddle a boundary produce garbage and are
+    excluded there)."""
+    import numpy as np
+
+    M = _FP_MOD
+    MASK30 = (1 << 30) - 1
+    MASK31 = (1 << 31) - 1
+    MASK29 = (1 << 29) - 1
+    MASK32 = (1 << 32) - 1
+    L = S8.shape[0]
+    w = window
+    ends = np.cumsum(ne_lens)
+    starts = ends - ne_lens
+    S, lo, hi, A, C_hi, C_lo, win, t0, t1 = (b[:L] for b in sc.u64)
+    np.copyto(S, S8, casting="unsafe")
+    # digit A[j] = s[j] * BASE^(L-1-j): PR[cap-k] = BASE^k, so the needed
+    # powers are the forward slice PR[cap-L+1 : cap+1]
+    Pv = PR[cap - L + 1 : cap + 1]
+    np.right_shift(Pv, 31, out=hi)
+    hi *= S                                   # < 2^38
+    np.bitwise_and(Pv, MASK31, out=lo)
+    lo *= S                                   # < 2^39
+    np.right_shift(hi, 30, out=A)
+    hi &= MASK30
+    hi <<= 31
+    A += hi
+    A += lo                                   # < 2^62
+    np.right_shift(A, 32, out=t0)
+    np.cumsum(t0, out=C_hi)                   # step < 2^30
+    A &= MASK32
+    np.cumsum(A, out=C_lo)
+    # window limb sums: win[i] = C[i+w-1] - C[i-1]; global tail past the
+    # last window start holds garbage, excluded by the reduceat ranges
+    win_hi, win_lo = hi, lo
+    nv = L - w + 1                            # valid-prefix length
+    win_hi[:nv] = C_hi[w - 1 :]
+    win_hi[1:nv] -= C_hi[: nv - 1]
+    win_lo[:nv] = C_lo[w - 1 :]
+    win_lo[1:nv] -= C_lo[: nv - 1]
+    # everything below runs on the valid prefix only
+    win_hi, win_lo, win, t0, t1 = (
+        x[:nv] for x in (win_hi, win_lo, win, t0, t1)
+    )
+    np.right_shift(win_hi, 29, out=win)
+    win_hi &= MASK29
+    win_hi <<= 32
+    win += win_hi
+    win += win_lo                             # < 2^62: no fold needed, the
+    # mulmod below tolerates a < 2^62 (partials stay < 2^64)
+    # window hash = window sum · BASE^-(L-i-w): PIR[cap-L+w+i] = PI[L-w-i]
+    a1, a0 = C_hi[:nv], C_lo[:nv]
+    np.right_shift(win, 31, out=a1)           # < 2^31
+    np.bitwise_and(win, MASK31, out=a0)
+    b1 = PIR1[cap - L + w : cap - L + w + nv]
+    b0 = PIR0[cap - L + w : cap - L + w + nv]
+    m, r = S[:nv], A[:nv]
+    np.multiply(a1, b0, out=m)
+    np.multiply(a0, b1, out=t1)
+    m += t1                                   # < 2^63; fold-free rot ∀ m
+    np.right_shift(m, 30, out=r)
+    m &= MASK30
+    m <<= 31
+    r += m                                    # mid: < 2^61+2^33
+    np.multiply(a1, b1, out=t1)
+    t1 <<= 1                                  # ·2^62 ≡ ·2; < 2^62
+    r += t1
+    np.multiply(a0, b0, out=t1)
+    r += t1                                   # + a0·b0 < 2^62; total < 2^63.6
+    np.right_shift(r, 61, out=t0)
+    r &= M
+    r += t0
+    np.subtract(r, M, out=t0)
+    np.minimum(r, t0, out=r)                  # branch-free canonicalize
+    inds = np.empty(2 * len(ends), dtype=np.int64)
+    inds[0::2] = starts
+    inds[1::2] = ends - w + 1
+    if inds[-1] >= nv:
+        inds = inds[:-1]
+    return np.minimum.reduceat(r, inds)[0::2]
+
+
+def _fp_kernel(S8, ne_lens, window: int, P, PI1, PI0, sc: _FpScratch):
+    """Min rolling-KR hash per doc over the flat uint8 byte array S8 of
+    concatenated docs with lengths ne_lens (all ≥ 1). Exact mod-2^61-1
+    arithmetic; returns one uint64 per doc.
+
+    Bandwidth-tuned: positional digits via a small-multiplier split
+    (s ≤ 255), window sums as differences of raw limb prefix-sums (no mod
+    on the prefix itself), the inverse-power table pre-split into 31-bit
+    limbs, folds skipped wherever the Mersenne identity tolerates
+    non-canonical operands, per-doc mins via paired `reduceat` offsets
+    over the valid window range, and every chunk-sized temporary written
+    into preallocated scratch (`out=`)."""
+    import numpy as np
+
+    M = _FP_MOD  # int scalars: see _np_mulmod note on the uint64 slow path
+    MASK30 = (1 << 30) - 1
+    MASK31 = (1 << 31) - 1
+    MASK29 = (1 << 29) - 1
+    MASK32 = (1 << 32) - 1
+    L = S8.shape[0]
+    ends = np.cumsum(ne_lens)
+    starts = ends - ne_lens
+    idx = sc.idx[:L]
+    end_rep = np.repeat(ends, ne_lens)
+    e2, e_idx = sc.i64[0][:L], sc.i64[1][:L]
+    S, Pg, hi, A, C_hi, C_lo, win, t0, t1 = (b[:L] for b in sc.u64)
+    np.copyto(S, S8, casting="unsafe")
+    # positional digit A[j] = s[j] * BASE^(end-1-j)
+    np.subtract(end_rep, idx, out=e2)
+    e2 -= 1
+    np.take(P, e2, out=Pg)
+    np.right_shift(Pg, 31, out=hi)
+    hi *= S                                   # < 2^38
+    Pg &= MASK31
+    Pg *= S                                   # lo: < 2^39
+    np.right_shift(hi, 30, out=A)
+    hi &= MASK30
+    hi <<= 31
+    A += hi                                   # hi·2^31 folded (2^61 ≡ 1)
+    A += Pg                                   # < 2^62 — limbs sized below
+    # raw split-limb prefix sums; window sums are limb differences, so the
+    # prefix itself never needs mod reduction (limb partials < 2^63 for
+    # any chunk < 2^32 bytes)
+    np.right_shift(A, 32, out=t0)
+    np.cumsum(t0, out=C_hi)                   # step < 2^30
+    A &= MASK32
+    np.cumsum(A, out=C_lo)
+    w_d = np.minimum(ne_lens, window)
+    w_rep = np.repeat(w_d, ne_lens)
+    np.add(idx, w_rep, out=e_idx)
+    e_idx -= 1
+    np.minimum(e_idx, L - 1, out=e_idx)
+    win_hi, win_lo = hi, Pg                   # digit buffers are free now
+    np.take(C_hi, e_idx, out=win_hi)
+    win_hi[1:] -= C_hi[:-1]                   # ≤ w·2^30: exact
+    np.take(C_lo, e_idx, out=win_lo)
+    win_lo[1:] -= C_lo[:-1]                   # ≤ w·2^32: exact
+    # window sum mod M = win_hi·2^32 + win_lo, folded via 2^61 ≡ 1
+    np.right_shift(win_hi, 29, out=win)
+    win_hi &= MASK29
+    win_hi <<= 32
+    win += win_hi
+    win += win_lo                             # < 2^62
+    np.right_shift(win, 61, out=t0)
+    win &= M
+    win += t0                                 # < 2^61+2
+    # true window hash = window sum · BASE^-(end-i-w); positions past the
+    # last valid window start produce garbage (possibly via a negative,
+    # i.e. wrapped, table index) but are excluded by the reduceat ranges
+    np.subtract(end_rep, idx, out=e2)
+    e2 -= w_rep
+    a1, a0 = C_hi, C_lo                       # prefix buffers are free now
+    np.right_shift(win, 31, out=a1)
+    np.bitwise_and(win, MASK31, out=a0)
+    b1, b0 = win_hi, win_lo                   # and the win limb buffers
+    np.take(PI1, e2, out=b1, mode="wrap")
+    np.take(PI0, e2, out=b0, mode="wrap")
+    m, r = S, A                               # and the byte/digit buffers
+    np.multiply(a1, b0, out=m)
+    b0 *= a0
+    np.multiply(a0, b1, out=t1)
+    m += t1                                   # < 2^62; fold-free: the rot
+    np.right_shift(m, 30, out=r)              # identity holds ∀ m
+    m &= MASK30
+    m <<= 31
+    r += m                                    # mid: < 2^61+2^32
+    a1 *= b1
+    a1 <<= 1                                  # ·2^62 ≡ ·2; < 2^61+2^31
+    r += a1
+    r += b0                                   # + a0·b0 < 2^62; total < 2^63.5
+    np.right_shift(r, 61, out=t0)
+    r &= M
+    r += t0
+    # branch-free canonicalize: for r < M, r-M wraps above 2^63 > r
+    np.subtract(r, M, out=t0)
+    np.minimum(r, t0, out=r)
+    # paired offsets: even entries are doc starts, odd entries the end of
+    # each doc's valid-window range; even-position results are the answers
+    inds = np.empty(2 * len(ends), dtype=np.int64)
+    inds[0::2] = starts
+    inds[1::2] = ends - w_d + 1
+    if inds[-1] >= L:
+        inds = inds[:-1]                      # last doc valid through L-1
+    return np.minimum.reduceat(r, inds)[0::2]
+
+
+def _fingerprint_batch(pdf: pd.DataFrame, text_col: str, window: int) -> pd.DataFrame:
+    """One Arrow batch of the fingerprint kernel (module-level so tests can
+    exercise it without a Spark session)."""
+    import numpy as np
+
+    base_inv = pow(_FP_BASE, _FP_MOD - 2, _FP_MOD)
+    doc_ids = pdf["doc_id"].to_numpy()
+    bs = [t.encode("utf-8") if isinstance(t, str) else b"" for t in pdf[text_col]]
+    lens = np.array([len(b) for b in bs], dtype=np.int64)
+    out = np.zeros(len(bs), dtype=np.int64)  # empty docs → 0
+    nonempty = lens > 0
+    if nonempty.any():
+        ne_lens = lens[nonempty]
+        S_all = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        ne_ends = np.cumsum(ne_lens)
+        ne_starts = ne_ends - ne_lens
+        # group docs into ~_FP_CHUNK-byte runs by start offset
+        group_of = ne_starts // _FP_CHUNK
+        _, first_doc = np.unique(group_of, return_index=True)
+        doc_bounds = np.append(first_doc, len(ne_lens))
+        group_len = (
+            ne_ends[doc_bounds[1:] - 1] - ne_starts[doc_bounds[:-1]]
+        )
+        cap = int(group_len.max())
+        # uniform kernel indexes powers by chunk-global exponent → tables
+        # sized to the largest chunk, not the largest doc
+        P = _np_powmod_table(_FP_BASE, cap)
+        PI = _np_powmod_table(base_inv, cap)
+        PI1, PI0 = PI >> 31, PI & ((1 << 31) - 1)
+        PR = P[::-1].copy()
+        PIR1, PIR0 = PI1[::-1].copy(), PI0[::-1].copy()
+        sc = _FpScratch(cap)
+        has_short = ne_lens < window
+        fps = np.empty(len(ne_lens), dtype=np.uint64)
+        for g in range(len(first_doc)):
+            d0, d1 = int(doc_bounds[g]), int(doc_bounds[g + 1])
+            b0, b1 = int(ne_starts[d0]), int(ne_ends[d1 - 1])
+            if has_short[d0:d1].any():
+                fps[d0:d1] = _fp_kernel(
+                    S_all[b0:b1], ne_lens[d0:d1], window, P, PI1, PI0, sc
+                )
+            else:
+                fps[d0:d1] = _fp_kernel_uniform(
+                    S_all[b0:b1], ne_lens[d0:d1], window,
+                    PR, PIR1, PIR0, cap, sc,
+                )
+        out[nonempty] = fps.astype(np.int64)
+    return pd.DataFrame({"doc_id": doc_ids, "fingerprint": out})

@@ -29,15 +29,22 @@ def run_data_dqa(
     disjoint_pairs: list[tuple[str, str]],
     cfg: DQAConfig,
     profile: GraphProfile | None = None,
+    plan=None,
 ) -> DataFrame:
-    """Full data-shape assessment over the triple table → report DF."""
+    """Full data-shape assessment over the triple table → report DF.
+
+    Pass `plan` (a ConstraintPlan from compile_data_constraints, ideally
+    with .violations already cached) to score an already-compiled plan
+    instead of re-evaluating every constraint — scoring is cheap, the
+    violation scan is not."""
     if profile is None:
         profile = profile_graph(
             T, cfg.type_property, cfg.labeling_property,
             cfg.description_property, cfg.interlinking_property,
         )
-    plan = compile_data_constraints(T, vocab_terms, disjoint_pairs, cfg)
-    plan.violations = plan.violations.cache()
+    if plan is None:
+        plan = compile_data_constraints(T, vocab_terms, disjoint_pairs, cfg)
+        plan.violations = plan.violations.cache()
     return score_plan(T.sparkSession, plan, profile, target="data")
 
 

@@ -97,6 +97,62 @@ def test_fingerprint_deterministic(spark, docs):
     assert fp1[1] == fp1[2] and fp1[1] != fp1[4]
 
 
+def _rolling_fp_reference(text, window):
+    """Scalar rolling Karp-Rabin min-hash — the semantics the vectorized
+    kernel must reproduce bit-for-bit (the round-1 implementation)."""
+    MOD, BASE = (1 << 61) - 1, 257
+
+    def hash_bytes(b):
+        h = 0
+        for ch in b:
+            h = (h * BASE + ch) % MOD
+        return h
+
+    s = (text or "").encode("utf-8")
+    if len(s) < window:
+        return hash_bytes(s)
+    h = hash_bytes(s[:window])
+    best = h
+    top = pow(BASE, window - 1, MOD)
+    for i in range(window, len(s)):
+        h = ((h - s[i - window] * top) * BASE + s[i]) % MOD
+        if h < best:
+            best = h
+    return best
+
+
+def test_fingerprint_matches_rolling_reference():
+    """Exercises both numpy kernels (uniform fast path + generic short-doc
+    path) against the scalar reference, without a Spark session."""
+    import random
+
+    import pandas as pd
+
+    from shacl_dqa_prototype_spark.operators.textstats import (
+        _fingerprint_batch,
+    )
+
+    random.seed(7)
+    alphabet = "abcdefg hij KLM.?é中\n"
+    texts = [
+        "".join(random.choice(alphabet) for _ in range(n))
+        for n in (0, 1, 3, 15, 16, 17, 31, 40, 200, 1000, 4096, 9000)
+        for _ in range(4)
+    ]
+    texts[2] = None
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    for window in (1, 5, 16, 64):
+        got = list(_fingerprint_batch(pdf, "text", window)["fingerprint"])
+        want = [_rolling_fp_reference(t, window) for t in texts]
+        assert got == want, f"window={window}"
+    # all-long corpus → pure uniform-kernel path, chunked
+    longs = ["".join(random.choice(alphabet) for _ in range(20000))
+             for _ in range(12)]
+    pdf2 = pd.DataFrame({"doc_id": range(12), "text": longs})
+    got = list(_fingerprint_batch(pdf2, "text", 16)["fingerprint"])
+    assert got == [_rolling_fp_reference(t, 16) for t in longs]
+
+
 def test_multimodal_plumbing(spark):
     from shacl_dqa_prototype_spark.datagen import GenConfig, generate_documents
     from shacl_dqa_prototype_spark.operators.extract import explode_spans
