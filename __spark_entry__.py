@@ -276,17 +276,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("vec_id", F.round("cosine", 3).alias("cosine")))
     q["sim_topk_cosine"] = sim_topk
 
-    # rows-only checks (not ANSI-SQL-expressible: multi-seed hashing / LSH)
+    # portable-hash variants (md5-60bit instead of xxhash64) so the full
+    # MinHash-LSH banding / SimHash vote pipelines are DuckDB-oracled; the
+    # default xxhash64 fast path is what the bench exercises
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_candidates(
-        _docs(s, d), n=5)
+        _docs(s, d), n=5, portable=True)
     q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_near_duplicates(
-        _docs(s, d), max_hamming=3)
+        _docs(s, d), max_hamming=3, portable=True)
     q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
 
     def ann(spark, sf_dir):
         emb = _emb(spark, sf_dir)
         qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-        return similarity.ann_topk(emb, list(qv), k=10).select(
+        return similarity.ann_topk(emb, list(qv), k=10,
+                                   probe_hamming=2).select(
             "vec_id", F.round("cosine", 3).alias("cosine"))
     q["sim_ann_lsh"] = ann
 
@@ -605,6 +608,114 @@ def oracle_sql() -> dict[str, str]:
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            count(*) AS n_events
     FROM y GROUP BY user_id, session_id"""
+
+    # --- text_fingerprint: min rolling-KR hash re-derived arithmetically --
+    # window hash = Σ ord(c_j)·257^(15-j) mod 2^61-1 over every 16-char
+    # window (driver docs are ASCII and ≥ 16 chars, so bytes == chars and
+    # the short-doc branch never fires); HUGEINT keeps the partial sums
+    # exact. Powers are precomputed Python-side.
+    _FP_M = (1 << 61) - 1
+    _fp_terms = " + ".join(
+        f"ord(substr(d.text, p.i + {j}, 1))::HUGEINT * {pow(257, 15 - j, _FP_M)}"
+        for j in range(16)
+    )
+    o["text_fingerprint"] = f"""
+    WITH pos AS (
+      SELECT unnest(generate_series(1,
+        (SELECT max(length(text)) FROM documents))) AS i),
+    wins AS (
+      SELECT d.doc_id, ({_fp_terms}) % {_FP_M} AS h
+      FROM documents d JOIN pos p ON p.i <= length(d.text) - 15)
+    SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint
+    FROM wins GROUP BY doc_id"""
+
+    # --- sim_ann_lsh: the full multi-probe LSH pipeline re-derived --------
+    # Hyperplanes are the same deterministic sin() constants the operator
+    # uses; bucket membership = sign of double-precision dot products
+    # (empirical sign margin on the driver embeddings ≈ 3e-4, far above
+    # any float-vs-double discrepancy); probe = Hamming ≤ 2 on the 12-bit
+    # signature; exact cosine top-10 within the probed buckets.
+    from shacl_dqa_prototype_spark.operators.similarity import _hyperplane
+
+    def _hp_sql(i: int) -> str:
+        return "[" + ",".join(repr(x) for x in _hyperplane(64, i, 42)) + "]::DOUBLE[]"
+
+    _sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {_hp_sql(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(12)
+    )
+    o["sim_ann_lsh"] = f"""
+    WITH sigs AS (
+      SELECT vec_id, e, ({_sig_terms}) AS sig
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)),
+    q AS (SELECT e AS qe, sig AS qsig FROM sigs WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(e, (SELECT qe FROM q)), 3) AS cosine
+    FROM sigs
+    WHERE bit_count(xor(sig::BIGINT, (SELECT qsig FROM q)::BIGINT)) <= 2
+    ORDER BY list_cosine_similarity(e, (SELECT qe FROM q)) DESC, vec_id ASC
+    LIMIT 10"""
+
+    # --- dedup_simhash_neardup: portable-hash SimHash votes, O(n²) verify -
+    # 60-bit md5 token hash (= the operator's portable=True path); the
+    # 4×16-bit pigeonhole banding in the operator is provably complete for
+    # Hamming ≤ 3, so its output must EQUAL this exact all-pairs result.
+    _sh_votes = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(60)
+    )
+    _sh_fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(60)
+    )
+    o["dedup_simhash_neardup"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents),
+    hs AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks WHERE length(tok) > 0),
+    votes AS (SELECT doc_id, {_sh_votes} FROM hs GROUP BY doc_id),
+    fp AS (SELECT doc_id, ({_sh_fp}) AS sh FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
+
+    # --- dedup_minhash_lsh: portable-hash MinHash + banding re-derived ----
+    # Distinct word 5-gram shingles → 64 seeded md5-60bit min-hashes →
+    # 16 bands of 4 rows → band-bucket equi-join. Structurally the same
+    # algorithm run by an independent SQL engine end-to-end.
+    _mh_mins = ", ".join(
+        f"min(('0x' || substr(md5(shingle || chr(31) || '{i}'), 1, 15))::BIGINT) AS m{i}"
+        for i in range(64)
+    )
+    _mh_buckets = ", ".join(
+        "('0x' || substr(md5("
+        + " || ',' || ".join(f"m{b * 4 + r}::VARCHAR" for r in range(4))
+        + f"), 1, 15))::BIGINT AS bk{b}"
+        for b in range(16)
+    )
+    _mh_bucket_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bk{b} AS bucket FROM sigs"
+        for b in range(16)
+    )
+    o["dedup_minhash_lsh"] = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents),
+    pos AS (
+      SELECT unnest(generate_series(0,
+        (SELECT max(greatest(len(tk) - 5, 0)) FROM toks))) AS i),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tk[p.i + 1 : p.i + 5], ' ') AS shingle
+      FROM toks t JOIN pos p ON p.i <= greatest(len(t.tk) - 5, 0)
+      WHERE length(array_to_string(tk[p.i + 1 : p.i + 5], ' ')) > 0),
+    sigs AS (SELECT doc_id, {_mh_mins} FROM shingles GROUP BY doc_id),
+    buckets AS ({_mh_bucket_rows})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
 
     from entry_ext import ext_oracles
 

@@ -59,12 +59,25 @@ HEADLINE = [
 ]
 
 
+def _bench_overrides():
+    """The contract entries for MinHash/SimHash use the portable md5 hash
+    so DuckDB can oracle them; the bench measures the default xxhash64
+    fast path (the 100 TB configuration)."""
+    from shacl_dqa_prototype_spark.operators import dedup
+
+    return {
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_candidates(
+            entrymod._docs(s, d), n=5),
+    }
+
+
 def _run_queries(spark) -> tuple[dict[str, float], float]:
     """Returns (per-query seconds, setup seconds). Setup = materializing
     the shared cached triple view and the compiled violations cache —
     one-time costs that would otherwise be charged to whichever query
     happens to run first, making per-query numbers unattributable."""
     qs = entrymod.queries()
+    qs.update(_bench_overrides())
     t0 = time.time()
     entrymod._triples(spark, SF_DIR).count()
     entrymod._plan(spark, SF_DIR).violations.count()

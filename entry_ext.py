@@ -509,22 +509,39 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return read_ntriples(spark, out).select("s", "p", "o", "o_kind", "o_dtype")
     q["rdf_ntriples_roundtrip"] = rdf_roundtrip
 
-    # --- IVF ANN (KMeans coarse quantizer + cell probing); rows-only -------
+    # --- IVF ANN (KMeans coarse quantizer + cell probing) ------------------
+    # Contract config: n_probe = n_cells (full probe) ⇒ provably equal to
+    # the exact brute-force top-k, so the whole IVF plumbing (quantizer
+    # fit, cell assignment, probe union, in-cell exact scan) is oracled
+    # against the brute-force SQL. Pruned probing (n_probe < n_cells) is
+    # recall-tested in tests/test_ops.py.
     def ivf(spark, sf_dir):
         from shacl_dqa_prototype_spark.operators.similarity import ivf_topk
 
         emb = _emb(spark, sf_dir)
         qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-        return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10).select(
+        return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qv), k=10,
+                        n_cells=16, n_probe=16).select(
             "vec_id", F.round("cosine", 3).alias("cosine"))
     q["sim_ann_ivf"] = ivf
 
-    # --- embedding-cosine near-dup (LSH candidate + exact verify) ----------
+    # --- embedding-cosine near-dup (banded LSH candidates + exact verify) --
+    # The corpus is augmented with planted direction-duplicates (each
+    # vec_id % 25 == 0 vector re-scaled by 2, id + 10000): scaling leaves
+    # every hyperplane sign — hence every band — identical, so banded LSH
+    # recall on the planted pairs is exactly 1 and the result provably
+    # equals the O(n²) exact oracle (natural pairs top out at cosine
+    # ≈ 0.51, far under the 0.95 threshold).
     def emb_neardup(spark, sf_dir):
         emb = _emb(spark, sf_dir)
         dim = len(emb.first()["embedding"])
-        return embedding_near_duplicates(emb, threshold=0.35, dim=dim,
-                                         n_planes=6).select(
+        planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+        aug = emb.select("vec_id", "embedding").unionByName(planted)
+        return embedding_near_duplicates(aug, threshold=0.95, dim=dim,
+                                         n_planes=12, n_bands=4).select(
             "id_a", "id_b", F.round("cosine", 3).alias("cosine"))
     q["dedup_embedding_neardup"] = emb_neardup
 
@@ -832,5 +849,29 @@ def ext_oracles() -> dict[str, str]:
            concat('n', lpad(CAST(doc_id - doc_id % 8 AS VARCHAR), 6, '0')) AS component
     FROM documents
     WHERE doc_id % 8 <> 0 AND doc_id <= (SELECT max(doc_id) FROM documents)"""
+
+    # IVF with n_probe = n_cells ≡ exact brute-force top-k (every cell is
+    # probed, so the union of probed cells is the whole corpus).
+    o["sim_ann_ivf"] = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 3) AS cosine
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC,
+             vec_id ASC
+    LIMIT 10"""
+
+    # Exact O(n²) near-dup ground truth over the same augmented corpus
+    # (planted direction-duplicates at cosine 1.0; natural pairs ≤ ~0.51).
+    o["dedup_embedding_neardup"] = """
+    WITH aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 2)
+      FROM embeddings WHERE vec_id % 25 = 0)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 3) AS cosine
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.95"""
 
     return o

@@ -27,6 +27,18 @@ def normalize_text(col: str = "text") -> F.Column:
     return F.lower(F.trim(F.col(col)))
 
 
+def _hash60(col, seed: int | None = None, portable: bool = False) -> F.Column:
+    """64-bit-ish hash of a string column. Default: xxhash64 (JVM fast
+    path — the 100 TB choice). portable=True: first 15 hex chars of md5 as
+    a 60-bit integer, identically computable in other engines
+    (DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT) — used by the
+    driver-contract entries so MinHash/SimHash results can be oracled."""
+    if portable:
+        base = col if seed is None else F.concat(col, F.lit(f"\x1f{seed}"))
+        return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(col) if seed is None else F.xxhash64(col, F.lit(seed))
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dup groups by md5 of normalized text. Returns one row per
     duplicated digest: (text_hash, n_docs, min_doc_id). md5 (not xxhash64)
@@ -98,16 +110,16 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(
     docs: DataFrame, n: int = 3, num_hashes: int = 64,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", portable: bool = False,
 ) -> DataFrame:
-    """MinHash: signature[i] = min over shingles of xxhash64(shingle, i).
+    """MinHash: signature[i] = min over shingles of hash(shingle, i).
     One explode + one groupBy; the num_hashes dimension lives inside an
     array column (no row blowup)."""
     sh = _shingles(docs, id_col, text_col, n)
     hashed = sh.select(
         "doc_id",
         F.array(
-            *[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
+            *[_hash60(F.col("shingle"), i, portable) for i in range(num_hashes)]
         ).alias("hs"),
     )
     agg = hashed.groupBy("doc_id").agg(
@@ -120,14 +132,14 @@ def minhash_signatures(
 
 def minhash_lsh_candidates(
     docs: DataFrame, n: int = 3, num_hashes: int = 64, bands: int = 16,
-    id_col: str = "doc_id", text_col: str = "text",
+    id_col: str = "doc_id", text_col: str = "text", portable: bool = False,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows-per-band chunks,
     bucket = hash(band_id, chunk); docs sharing any bucket are candidates.
     The only join is bucket-equi — candidate volume is bounded by bucket
     sizes, never O(n²)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col)
+    sig = minhash_signatures(docs, n, num_hashes, id_col, text_col, portable)
     buckets = sig.select(
         "doc_id",
         F.explode(
@@ -135,14 +147,15 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
+                        _hash60(
                             F.concat_ws(
                                 ",",
                                 *[
                                     F.element_at("signature", b * rows_per_band + r + 1)
                                     for r in range(rows_per_band)
                                 ],
-                            )
+                            ),
+                            portable=portable,
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -198,15 +211,16 @@ def exact_duplicate_clusters(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash: per token, each bit votes ±1 by xxhash64(token) bit;
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            portable: bool = False) -> DataFrame:
+    """64-bit SimHash: per token, each bit votes ±1 by hash(token) bit;
     fingerprint bit j = sign of vote sum. One explode + one groupBy with 64
     conditional sums (all JVM-side)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(text_col), TOKEN_RX)).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = _hash60(F.col("tok"), portable=portable)
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -221,11 +235,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return votes.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            portable: bool = False) -> DataFrame:
     """Near-dups = SimHash Hamming distance ≤ max_hamming. Candidate stage:
     docs sharing any of 4 16-bit bands (pigeonhole: distance ≤ 3 ⇒ at least
-    one identical band); verify with bit_count(xor)."""
-    s = simhash(docs)
+    one identical band) — so the result is provably EXACTLY the set of
+    pairs at Hamming ≤ max_hamming (≤ 3), not an approximation; verify
+    with bit_count(xor)."""
+    s = simhash(docs, portable=portable)
     bands = s.select(
         "doc_id", "simhash",
         F.explode(

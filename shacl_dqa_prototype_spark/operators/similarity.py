@@ -75,23 +75,53 @@ def lsh_signatures(
     return embeddings.withColumn("lsh_sig", sig)
 
 
-def ann_topk(
-    embeddings: DataFrame, query_vec: list[float], k: int = 10,
-    n_planes: int = 12, seed: int = 42,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-) -> DataFrame:
-    """ANN: restrict the exact scan to the query's LSH bucket (plus
-    fallback to full scan if the bucket is smaller than k is left to the
-    caller — this returns bucket-local top-k)."""
-    dim = len(query_vec)
-    with_sig = lsh_signatures(embeddings, dim, n_planes, seed, vec_col)
+def query_signature(query_vec: list[float], n_planes: int = 12,
+                    seed: int = 42) -> int:
+    """Driver-side LSH signature of a query vector (same hyperplanes as
+    lsh_signatures)."""
     qsig = 0
     for i in range(n_planes):
-        h = _hyperplane(dim, i, seed)
+        h = _hyperplane(len(query_vec), i, seed)
         if sum(a * b for a, b in zip(query_vec, h)) > 0:
             qsig += 2**i
-    bucket = with_sig.filter(F.col("lsh_sig") == qsig)
-    return cosine_topk(bucket, query_vec, k, id_col, vec_col)
+    return qsig
+
+
+def ann_topk(
+    embeddings: DataFrame, query_vec: list[float], k: int = 10,
+    n_planes: int = 12, seed: int = 42, probe_hamming: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH ANN: restrict the exact cosine scan to every bucket
+    whose signature is within ``probe_hamming`` bits of the query's —
+    single-bucket probing misses true neighbors whenever one hyperplane
+    disagrees, which for a ~30° neighbor over 12 planes is the COMMON
+    case, not the exception. Probing Σ C(n_planes, ≤h) of the 2^n_planes
+    buckets keeps the scan sublinear at scale (signature is a bucketable/
+    partitionable key) while recovering recall; recall@k vs brute force
+    is asserted in tests."""
+    from itertools import combinations
+
+    dim = len(query_vec)
+    with_sig = lsh_signatures(embeddings, dim, n_planes, seed, vec_col)
+    qsig = query_signature(query_vec, n_planes, seed)
+    # enumerate the probe signatures explicitly (an IN-list prunes
+    # sig-partitioned/bucketed storage; a bit_count filter would scan all
+    # rows) unless the combinatorial list is impractically large
+    n_probes = sum(math.comb(n_planes, h) for h in range(probe_hamming + 1))
+    if n_probes <= 4096:
+        sigs = [
+            qsig ^ sum(1 << b for b in flip)
+            for h in range(probe_hamming + 1)
+            for flip in combinations(range(n_planes), h)
+        ]
+        probed = with_sig.filter(F.col("lsh_sig").isin(sigs))
+    else:
+        probed = with_sig.filter(
+            F.bit_count(F.col("lsh_sig").bitwiseXOR(F.lit(qsig)))
+            <= probe_hamming
+        )
+    return cosine_topk(probed, query_vec, k, id_col, vec_col)
 
 
 def ivf_topk(
@@ -127,22 +157,52 @@ def ivf_topk(
 
 def embedding_near_duplicates(
     embeddings: DataFrame, threshold: float = 0.95, dim: int = 64,
-    n_planes: int = 12, seed: int = 42,
+    n_planes: int = 12, n_bands: int = 4, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH-bucket candidate join (equi on
-    signature) + exact cosine verify. O(Σ bucket²), not O(n²)."""
+    """Embedding-cosine near-dup pairs: BANDED LSH candidate generation +
+    exact cosine verify. The signature's n_planes bits are split into
+    n_bands bands; a pair is a candidate if ANY band matches (MinHash-LSH
+    style), instead of requiring all n_planes bits equal — full-signature
+    equality at 12 planes has near-zero recall for anything short of
+    exact duplicates. Still O(Σ band-bucket²) work, not O(n²); precision
+    is exact (candidates are verified). Tune n_bands up for recall, down
+    for pruning."""
+    assert n_planes % n_bands == 0, "n_planes must divide into equal bands"
+    bits = n_planes // n_bands
     sig = lsh_signatures(embeddings, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_sig"
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "lsh_sig")
-    b = sig.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "lsh_sig")
+    # explode into (band, band_sig) keys
+    band_key = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("lsh_sig"), b * bits)
+                .bitwiseAND(F.lit((1 << bits) - 1)).alias("band_sig"),
+            )
+            for b in range(n_bands)
+        ])
+    )
+    banded = sig.select("id", "v", band_key.alias("bk")).select(
+        "id", "v", F.col("bk.band").alias("band"),
+        F.col("bk.band_sig").alias("band_sig"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                      "band", "band_sig")
+    b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                      "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cos = _dot(F.col("v_a"), F.col("v_b")) / (
-        F.nullif(_norm(F.col("v_a")), F.lit(0.0)) * F.nullif(_norm(F.col("v_b")), F.lit(0.0))
+        F.nullif(_norm(F.col("v_a")), F.lit(0.0))
+        * F.nullif(_norm(F.col("v_b")), F.lit(0.0))
     )
     return (
-        a.join(b, "lsh_sig")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
+        cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

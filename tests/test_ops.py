@@ -70,9 +70,113 @@ def test_ann_and_near_dups(spark):
     res = similarity.ann_topk(emb, [1.0, 0.0], k=5, n_planes=6)
     ids = [r["vec_id"] for r in res.collect()]
     assert len(ids) >= 1 and all(i % 8 == 0 for i in ids)
-    nd = similarity.embedding_near_duplicates(emb, threshold=0.999999, dim=2, n_planes=6)
+    nd = similarity.embedding_near_duplicates(emb, threshold=0.999999, dim=2,
+                                              n_planes=6, n_bands=3)
     got = {(r["id_a"], r["id_b"]) for r in nd.collect()}
     assert (0, 8) in got and all(a % 8 == b % 8 for a, b in got)
+
+
+def _clustered_embeddings(spark, n_clusters=10, per_cluster=20, dim=16,
+                          spread=0.12, seed=11):
+    """Deterministic planted-cluster corpus: members sit within ~spread of
+    their cluster center (cosine to center ≳ 0.95), centers are
+    near-orthogonal-ish random directions."""
+    import random
+
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for c, center in enumerate(centers):
+        for m in range(per_cluster):
+            vec = [x + rng.gauss(0, spread) for x in center]
+            rows.append((c * per_cluster + m, vec))
+    return centers, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ann_multiprobe_recall(spark):
+    """Multi-probe LSH ANN must recover ≥ 0.9 of the true top-10 on a
+    planted-cluster corpus (fully seeded → deterministic, no flake).
+    Single-bucket probing (probe_hamming=0) demonstrably can't — that is
+    the recall gap multi-probe exists to close."""
+    centers, emb = _clustered_embeddings(spark)
+    emb = emb.cache()
+    recalls_mp, recalls_sb = [], []
+    for q in (centers[0], centers[3], centers[7]):
+        truth = {r["vec_id"]
+                 for r in similarity.cosine_topk(emb, q, k=10).collect()}
+        mp = {r["vec_id"]
+              for r in similarity.ann_topk(emb, q, k=10, n_planes=12,
+                                           probe_hamming=3).collect()}
+        sb = {r["vec_id"]
+              for r in similarity.ann_topk(emb, q, k=10, n_planes=12,
+                                           probe_hamming=0).collect()}
+        recalls_mp.append(len(mp & truth) / 10)
+        recalls_sb.append(len(sb & truth) / 10)
+    assert sum(recalls_mp) / 3 >= 0.9, recalls_mp
+    # sanity: multi-probe is the reason, not the corpus being trivial
+    assert sum(recalls_sb) / 3 < sum(recalls_mp) / 3
+
+
+def test_ivf_pruned_probe_recall(spark):
+    """IVF with n_probe < n_cells: a cluster-center query's true top-10
+    live in the probed cells (KMeans recovers the planted clusters)."""
+    centers, emb = _clustered_embeddings(spark)
+    emb = emb.cache()
+    truth = {r["vec_id"]
+             for r in similarity.cosine_topk(emb, centers[2], k=10).collect()}
+    got = {r["vec_id"]
+           for r in similarity.ivf_topk(emb, centers[2], k=10, n_cells=8,
+                                        n_probe=2).collect()}
+    assert len(got & truth) / 10 >= 0.9
+
+
+def test_banded_neardup_recall(spark):
+    """Banded-LSH near-dup candidates must recover ≥ 0.9 of the exact
+    cosine ≥ 0.95 pairs (brute-force ground truth); full-signature
+    equality at 12 planes misses most of them."""
+    import itertools
+    import math
+
+    _, emb = _clustered_embeddings(spark, n_clusters=6, per_cluster=8)
+    rows = emb.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (math.sqrt(sum(x * x for x in a))
+                      * math.sqrt(sum(y * y for y in b)))
+
+    truth = {(i, j) for i, j in itertools.combinations(sorted(vecs), 2)
+             if cos(vecs[i], vecs[j]) >= 0.95}
+    assert len(truth) >= 20  # the corpus actually plants near-dups
+    got = {(r["id_a"], r["id_b"])
+           for r in similarity.embedding_near_duplicates(
+               emb, threshold=0.95, dim=16, n_planes=12, n_bands=4).collect()}
+    assert got <= truth  # exact verify ⇒ perfect precision
+    assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_minhash_candidates_cover_high_jaccard(spark):
+    """MinHash-LSH candidates must cover every pair with shingle-Jaccard
+    ≥ 0.9 (the pairs banding exists to find)."""
+    base = [f"w{j}" for j in range(40)]  # 38 3-gram shingles
+    rows = []
+    for i in range(12):
+        # differ only in the last token: 37 shared of 39 distinct shingles
+        # per pair → Jaccard ≈ 0.95
+        rows.append((i, " ".join(base[:-1] + [f"tweak{i}"])))
+    rows += [(100 + i, " ".join(f"noise{i}w{j}" for j in range(20)))
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.0)
+             .collect()}
+    truth = {p for p, j in exact.items() if j >= 0.9}
+    assert truth
+    cands = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_candidates(docs, n=3).collect()}
+    missed = truth - cands
+    assert not missed, f"missed high-Jaccard pairs: {missed}"
 
 
 def test_token_count_and_quality(docs):
