@@ -202,8 +202,9 @@ def cmd_dqa(args) -> None:
         write_reference_csv,
     )
 
-    write_reference_csv(reference_csv_rows(report.collect()),
-                        os.path.join(args.output, "dq_assessment.csv"))
+    write_reference_csv(
+        reference_csv_rows(report.collect(), uris_max_length=cfg.uris_max_length),
+        os.path.join(args.output, "dq_assessment.csv"))
     with open(os.path.join(args.output, "profile.json"), "w") as f:
         json.dump(profile.as_dict(), f, indent=2)
     n_rows = report.count()

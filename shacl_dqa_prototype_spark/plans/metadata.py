@@ -105,19 +105,24 @@ def evaluate_metadata(metadata: DataFrame, metadata_class: str) -> list[Metadata
     feats_ok = 1 <= len(feats) <= 5 and all(v in FORMAT_IRIS for (v, _) in feats)
     binary("SerializationFormats", feats_ok,
            INCORRECT if feats and not feats_ok
-           else "The dataset's metadata should specify the serialization formats")
+           else "The dataset's metadata should specify the serialization "
+                "formats in which the data is available")
 
     # AvailabilityDump: dataDump ∨ distribution→downloadURL (sequence path).
     dump = vals(f"{VOID}dataDump")
     dists = {v for (v, _) in vals(f"{DCAT}distribution")}
     dl = [(o, k) for (s, p, o, k) in triples if p == f"{DCAT}downloadURL" and s in dists]
     binary("AvailabilityDump", bool(dump) or bool(dl),
-           "The dataset must provide an accessible RDF dump that can be downloaded")
+           "The dataset must provide an accessible RDF dump that can be "
+           "downloaded.")
 
-    # AuthenticityOfDataset: both OR-shapes must hold (two shapes, one metric).
+    # AuthenticityOfDataset: both OR-shapes must hold (two shapes, one
+    # metric; when both are violated the reference's result iteration
+    # surfaces the Source message — metadata_shapes.template.ttl:87,103).
     src_ok = bool(vals(f"{DCT}source")) or bool(vals(f"{DCT}provenance"))
     auth_ok = any(bool(vals(f"{DCT}{q}")) for q in ("contributor", "creator", "publisher"))
     binary("AuthenticityOfDataset", src_ok and auth_ok,
-           "The dataset should specify origin and contributor/creator/publisher")
+           "The dataset should specify the origin of the data" if not src_ok
+           else "The dataset should specify a contributor, creator or publisher")
 
     return out

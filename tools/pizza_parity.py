@@ -227,40 +227,87 @@ def _norm_name(name: str) -> str:
     return base[:-5] if base.endswith("Shape") else base
 
 
+def _canon_violations(text: str) -> tuple:
+    """Violation list → order-insensitive canonical form. The reference
+    emits pySHACL dict-iteration order (not reproducible); elements and
+    any per-item scores inside '(item,score)' tuples must still match.
+    Handles the IFP '(prop); v1; v2 )' framing and ';' vs '; ' joins.
+    Floats are rounded so double-arithmetic ordering differences don't
+    register as mismatches."""
+    import re
+
+    text = (text or "").strip()
+    if text.endswith(")") and not text.endswith("))") and " )" in text:
+        text = text[: text.rfind(" )")]  # IFP trailing ' )'
+    parts = []
+    for el in text.split(";"):
+        el = el.strip()
+        if not el:
+            continue
+        # blank-node labels can never match across engines (rdflib
+        # skolemizes to random hex ids) — normalize both spellings
+        if el.startswith("_:") or re.fullmatch(r"[Nn][0-9a-f]{32}(b\d+)?", el):
+            parts.append("<bnode>")
+            continue
+        if el.startswith("(") and el.endswith(")") and "," in el:
+            bits = el[1:-1].rsplit(",", 1)
+            try:
+                parts.append((bits[0].strip(), round(float(bits[1]), 9)))
+                continue
+            except ValueError:
+                pass
+        parts.append(el)
+    return tuple(sorted(map(repr, parts)))
+
+
 def compare_csv(report, md_report, vrep) -> list[str]:
     """CSV-level parity: our reference-shaped rollup rows vs the committed
-    dq_assessment_pizza.csv (score + num_violations per family row)."""
+    dq_assessment_pizza.csv — ALL 15 columns per row. score compared
+    numerically, violations as canonical multisets, everything else
+    byte-exact."""
     import csv
 
     from shacl_dqa_prototype_spark.plans.report_csv import (
         CSV_NAME_OVERRIDES,
+        CSV_COLUMNS,
         reference_csv_rows,
     )
 
     rows = (report.collect() + md_report.collect() + vrep.collect())
-    ours = reference_csv_rows(rows)
+    ours = reference_csv_rows(rows, uris_max_length=CFG.uris_max_length)
     inv = {v: k for k, v in CSV_NAME_OVERRIDES.items()}
     got = {}
     for r in ours:
         name = _norm_name(str(r["shape_name"]))
-        got[inv.get(r["shape_name"], name)] = (
-            float(r["score"]), int(r["num_violations"]))
+        got[inv.get(r["shape_name"], name)] = r
 
     errors = []
+    exact_cols = [c for c in CSV_COLUMNS
+                  if c not in ("score", "num_violations", "violations",
+                               "shape_name")]
     with open(f"{PIZZA}/results/dq_assessment_pizza.csv") as f:
         for row in csv.DictReader(f):
             name = _norm_name(row["shape_name"])
             name = inv.get(row["shape_name"], name)
-            g_score = float(row["score"])
-            g_nv = int(row["num_violations"] or 0)
             if name not in got:
                 errors.append(f"CSV MISSING {name}")
                 continue
-            score, nv = got[name]
-            if abs(score - g_score) > 1e-9:
-                errors.append(f"CSV SCORE {name}: ours={score} golden={g_score}")
-            if nv != g_nv:
-                errors.append(f"CSV NV {name}: ours={nv} golden={g_nv}")
+            r = got[name]
+            if abs(float(r["score"]) - float(row["score"])) > 1e-9:
+                errors.append(
+                    f"CSV SCORE {name}: ours={r['score']} golden={row['score']}")
+            if int(r["num_violations"]) != int(row["num_violations"] or 0):
+                errors.append(f"CSV NV {name}: ours={r['num_violations']} "
+                              f"golden={row['num_violations']}")
+            if _canon_violations(str(r["violations"])) != _canon_violations(
+                    row["violations"]):
+                errors.append(f"CSV VIOLATIONS {name}: ours="
+                              f"{str(r['violations'])[:80]!r} "
+                              f"golden={row['violations'][:80]!r}")
+            for col in exact_cols:
+                if str(r[col]) != row[col]:
+                    errors.append(f"CSV {col} {name}: ours={str(r[col])[:70]!r}"
+                                  f" golden={row[col][:70]!r}")
     return errors
 
 
