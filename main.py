@@ -39,23 +39,77 @@ def _spark(args):
     )
 
 
-def _read_rdf(spark, path: str):
-    """Format-sniffing RDF reader (reference config `graph_file_format`)."""
+def _read_rdf(spark, path: str, fmt: str | None = None):
+    """RDF reader; format from `fmt` (reference config `graph_file_format`:
+    ttl/nt/xml/n3) or sniffed from the extension."""
     from shacl_dqa_prototype_spark.sources import rdf
 
-    if path.endswith((".nt", ".ntriples")):
+    fmt = fmt or ""
+    if fmt in ("nt", "ntriples") or (not fmt and path.endswith((".nt", ".ntriples"))):
         # RDF graphs are sets (rdflib semantics) — dedupe on read
         return rdf.read_ntriples(spark, path).dropDuplicates(), None
-    if path.endswith((".ttl", ".n3", ".turtle")):
+    if fmt in ("ttl", "n3", "turtle") or (
+            not fmt and path.endswith((".ttl", ".n3", ".turtle"))):
         rows = rdf.parse_turtle(open(path, encoding="utf-8").read())
-    elif path.endswith((".xml", ".rdf", ".owl")):
+    elif fmt in ("xml", "rdfxml", "owl") or (
+            not fmt and path.endswith((".xml", ".rdf", ".owl"))):
         rows = rdf.parse_rdfxml(open(path, encoding="utf-8").read())
     else:
-        raise SystemExit(f"unknown RDF format: {path}")
+        raise SystemExit(f"unknown RDF format: {fmt or path}")
     rows = list(dict.fromkeys(map(tuple, rows)))
     from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
 
     return spark.createDataFrame(rows, TRIPLES_SCHEMA), rows
+
+
+def _apply_ini(args) -> None:
+    """Overlay a reference-format INI config (config/*.ini; keys read at
+    dq_assessment.py:40-86) onto the dqa arguments. Explicit CLI flags
+    win over INI values; relative paths resolve against the INI's
+    directory, so `--config /path/to/reference-style/pizza.ini` works
+    unmodified."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    if not cp.read(args.config):
+        raise SystemExit(f"config file not found: {args.config}")
+    st = cp["settings"]
+    base = os.path.dirname(os.path.abspath(args.config))
+
+    def path_of(v: str) -> str:
+        """Reference INIs are root-relative (`datasets/pizza/data.ttl` with
+        the INI in `config/`); try INI dir, its parent, then CWD."""
+        if os.path.isabs(v):
+            return v
+        for root in (base, os.path.dirname(base), os.getcwd()):
+            cand = os.path.normpath(os.path.join(root, v))
+            if os.path.exists(cand):
+                return cand
+        return os.path.normpath(os.path.join(base, v))
+
+    if not args.triples:
+        args.triples = path_of(st["graph_file"])
+        args.triples_format = st.get("graph_file_format")
+    if not args.metadata and st.get("metadata_file"):
+        args.metadata = path_of(st["metadata_file"])
+        args.metadata_format = st.get("metadata_file_format")
+    args.dataset_name = args.dataset_name or st.get("dataset_name", "dataset")
+    args.base_uri = args.base_uri or st.get("base_namespace")
+    args.metadata_class = args.metadata_class or st.get("metadata_class")
+    args.type_property = args.type_property or st.get("type_property")
+    args.labeling_property = args.labeling_property or st.get("labeling_property")
+    args.description_property = (
+        args.description_property or st.get("description_property"))
+    args.interlinking_property = (
+        args.interlinking_property or st.get("interlinking_property"))
+    if args.uris_max_length is None and st.get("uris_max_length"):
+        args.uris_max_length = int(st["uris_max_length"])
+    if not args.vocab and st.get("vocabularies"):
+        for vname in [v.strip() for v in st["vocabularies"].split(",") if v.strip()]:
+            sec = cp[vname]
+            args.vocab.append(path_of(sec["file_path"]))
+            args.vocab_names.append(sec.get("vocab_name", vname))
+            args.vocab_formats.append(sec.get("file_format"))
 
 
 def cmd_construct(args) -> None:
@@ -86,8 +140,6 @@ def cmd_construct(args) -> None:
 
 
 def cmd_dqa(args) -> None:
-    from pyspark.sql import functions as F
-
     from shacl_dqa_prototype_spark.functions.terms import OWL, RDF, RDFS
     from shacl_dqa_prototype_spark.plans.constraints import (
         DQAConfig,
@@ -102,6 +154,8 @@ def cmd_dqa(args) -> None:
     from shacl_dqa_prototype_spark.plans.vocab import (
         mine_vocab,
         profile_to_vocab_terms,
+        raw_usage_sets,
+        subclass_closure,
         tbox_merge_rows,
     )
     from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
@@ -110,6 +164,12 @@ def cmd_dqa(args) -> None:
         write_report_json,
     )
 
+    if args.config:
+        _apply_ini(args)
+    if not args.triples:
+        raise SystemExit("--triples or --config with graph_file is required")
+    t_start = time.time()
+    timings: dict[str, float] = {}
     spark = _spark(args)
     if args.triples.endswith(".parquet") or os.path.isdir(args.triples):
         from shacl_dqa_prototype_spark.sources.sinks import read_triples
@@ -119,14 +179,16 @@ def cmd_dqa(args) -> None:
         except Exception:
             T_raw = spark.read.parquet(args.triples)
     else:
-        T_raw, _ = _read_rdf(spark, args.triples)
+        T_raw, _ = _read_rdf(spark, args.triples,
+                             getattr(args, "triples_format", None))
 
     cfg = DQAConfig(
         type_property=args.type_property or f"{RDF}type",
         labeling_property=args.labeling_property or f"{RDFS}label",
         description_property=args.description_property or f"{RDFS}comment",
         interlinking_property=args.interlinking_property or f"{OWL}sameAs",
-        uris_max_length=args.uris_max_length,
+        uris_max_length=(args.uris_max_length
+                         if args.uris_max_length is not None else 80),
         base_uri=args.base_uri,
     )
     profile = profile_graph(T_raw, cfg.type_property, cfg.labeling_property,
@@ -136,10 +198,16 @@ def cmd_dqa(args) -> None:
     sub_pairs = None
     T = T_raw
     used_props = used_classes = None
+    vocab_graphs: list[tuple[str, list[tuple]]] = []
     if args.vocab:
+        vnames = list(getattr(args, "vocab_names", []) or [])
+        vfmts = list(getattr(args, "vocab_formats", []) or [])
         vocab_rows = []
-        for vp in args.vocab:
-            _, rows = _read_rdf(spark, vp)
+        for i, vp in enumerate(args.vocab):
+            _, rows = _read_rdf(spark, vp, vfmts[i] if i < len(vfmts) else None)
+            name = (vnames[i] if i < len(vnames)
+                    else os.path.splitext(os.path.basename(vp))[0])
+            vocab_graphs.append((name, rows or []))
             vocab_rows.extend(rows or [])
         prof_v = mine_vocab(vocab_rows)
         terms, disjoint = profile_to_vocab_terms(prof_v)
@@ -148,42 +216,31 @@ def cmd_dqa(args) -> None:
             spark.createDataFrame(merged, TRIPLES_SCHEMA)).dropDuplicates()
         # usage pruning stays on the RAW graph (reference semantics);
         # sh:class follows the vocab subClassOf closure
-        usage = T_raw.agg(
-            F.collect_set("p").alias("props"),
-            F.collect_set(F.when(F.col("p") == cfg.type_property, F.col("o"))).alias("classes"),
-        ).first()
-        used_props, used_classes = set(usage["props"]), set(usage["classes"])
-        direct: dict[str, set] = {}
-        for (s, p, o, *_r) in vocab_rows:
-            if p == f"{RDFS}subClassOf":
-                direct.setdefault(s, set()).add(o)
-        pairs = set()
-        for start in direct:
-            stack, seen = list(direct[start]), set()
-            while stack:
-                anc = stack.pop()
-                if anc in seen:
-                    continue
-                seen.add(anc)
-                pairs.add((start, anc))
-                stack.extend(direct.get(anc, ()))
-        sub_pairs = sorted(pairs) or None
+        used_props, used_classes = raw_usage_sets(T_raw, cfg.type_property)
+        sub_pairs = subclass_closure(vocab_rows) or None
 
     reports = []
     if args.metadata:
-        metadata, _ = _read_rdf(spark, args.metadata)
+        t0 = time.time()
+        metadata, _ = _read_rdf(spark, args.metadata,
+                                getattr(args, "metadata_format", None))
         cfg = contextual_config_from_metadata(metadata, cfg)
-        reports.append(run_metadata_dqa(spark, metadata))
+        reports.append(run_metadata_dqa(
+            spark, metadata,
+            **({"metadata_class": args.metadata_class}
+               if args.metadata_class else {})))
+        timings["metadata_shapes_elapsed_time"] = time.time() - t0
 
     if args.vocab and used_classes is not None:
         from shacl_dqa_prototype_spark.plans.dqa import run_vocab_dqa
 
-        for vp in args.vocab:
-            _, rows = _read_rdf(spark, vp)
-            name = os.path.splitext(os.path.basename(vp))[0]
-            reports.append(run_vocab_dqa(spark, name, rows or [],
+        t0 = time.time()
+        for name, rows in vocab_graphs:
+            reports.append(run_vocab_dqa(spark, name, rows,
                                          used_classes, used_props))
+        timings["vocab_shapes_elapsed_time"] = time.time() - t0
 
+    t0 = time.time()
     plan = compile_data_constraints(
         T, terms, disjoint, cfg, used_props=used_props,
         used_classes=used_classes, subclass_pairs=sub_pairs)
@@ -202,13 +259,34 @@ def cmd_dqa(args) -> None:
         write_reference_csv,
     )
 
+    report_rows = report.collect()
+    timings["data_shapes_elapsed_time"] = time.time() - t0
     write_reference_csv(
-        reference_csv_rows(report.collect(), uris_max_length=cfg.uris_max_length),
+        reference_csv_rows(report_rows, uris_max_length=cfg.uris_max_length),
         os.path.join(args.output, "dq_assessment.csv"))
     with open(os.path.join(args.output, "profile.json"), "w") as f:
         json.dump(profile.as_dict(), f, indent=2)
-    n_rows = report.count()
-    print(json.dumps({"report_rows": n_rows, "output": args.output,
+
+    # run_info.json bookkeeping (reference main.py:34-53): per-stage
+    # timings + instantiated-shape count + the graph profile, keyed by
+    # dataset name and merged into any existing file.
+    run_info_path = os.path.join(args.output, "run_info.json")
+    run_info = {}
+    if os.path.exists(run_info_path):
+        with open(run_info_path, encoding="utf-8") as f:
+            run_info = json.load(f)
+    run_info[args.dataset_name or "dataset"] = {
+        "total_elapsed_time": time.time() - t_start,
+        "vocab_shapes_elapsed_time": timings.get("vocab_shapes_elapsed_time", 0.0),
+        "data_shapes_elapsed_time": timings.get("data_shapes_elapsed_time", 0.0),
+        "metadata_shapes_elapsed_time": timings.get(
+            "metadata_shapes_elapsed_time", 0.0),
+        "num_inst_shapes": len(plan.shapes),
+        "graph_profile": profile.as_dict(),
+    }
+    with open(run_info_path, "w", encoding="utf-8") as f:
+        json.dump(run_info, f, indent=4)
+    print(json.dumps({"report_rows": len(report_rows), "output": args.output,
                       "profile": profile.as_dict()}))
 
 
@@ -246,18 +324,25 @@ def main(argv: list[str] | None = None) -> None:
 
     pd_ = sub.add_parser("dqa", help="triple table → conformance report")
     common(pd_)
-    pd_.add_argument("--triples", required=True,
+    pd_.add_argument("--config",
+                     help="reference-format INI config (config/*.ini); "
+                          "CLI flags override its values")
+    pd_.add_argument("--triples",
                      help="triple parquet dir OR RDF file (ttl/nt/xml)")
     pd_.add_argument("--vocab", action="append", default=[],
                      help="vocabulary file (repeatable)")
     pd_.add_argument("--metadata", help="VoID metadata file")
     pd_.add_argument("--output", required=True)
+    pd_.add_argument("--dataset-name")
     pd_.add_argument("--base-uri")
+    pd_.add_argument("--metadata-class")
     pd_.add_argument("--type-property")
     pd_.add_argument("--labeling-property")
     pd_.add_argument("--description-property")
     pd_.add_argument("--interlinking-property")
-    pd_.add_argument("--uris-max-length", type=int, default=80)
+    pd_.add_argument("--uris-max-length", type=int, default=None)
+    pd_.set_defaults(triples_format=None, metadata_format=None,
+                     vocab_names=[], vocab_formats=[])
 
     args = ap.parse_args(argv)
     if args.make_pyfiles:

@@ -230,7 +230,9 @@ def compile_data_constraints(
             typing.join(ni_typed, "s", "left_anti")
             .select(F.col("o").alias("cls")).distinct()
         )
-        missing = F.broadcast(cls_df).join(with_instances, "cls", "left_anti")
+        # hint the BUILD (right) side: a left-anti join can only broadcast
+        # its right input — with_instances is #distinct-classes small
+        missing = cls_df.join(F.broadcast(with_instances), "cls", "left_anti")
         parts.append(_v(missing, "SchemaCompletenessClassUsage",
                         F.col("cls"), F.col("cls")))
         for c in classes:

@@ -302,3 +302,38 @@ def tbox_self_typing_rows(vocab_rows: list[tuple]) -> list[tuple]:
             elif o in owl_classes:
                 out.append((s, RDF_TYPE, f"{RDFS}Class", "iri", None, None))
     return out
+
+
+def subclass_closure(vocab_rows: list[tuple]) -> list[tuple[str, str]]:
+    """Transitive (descendant, ancestor) pairs from rdfs:subClassOf —
+    drives the sh:class closure in the range/domain checks. Shared by
+    main.py's dqa command and tools/pizza_parity.py."""
+    direct: dict[str, set[str]] = {}
+    for (s, p, o, *_r) in vocab_rows:
+        if p == f"{RDFS}subClassOf":
+            direct.setdefault(s, set()).add(o)
+    pairs: set[tuple[str, str]] = set()
+    for start in direct:
+        stack, seen = list(direct[start]), set()
+        while stack:
+            anc = stack.pop()
+            if anc in seen:
+                continue
+            seen.add(anc)
+            pairs.add((start, anc))
+            stack.extend(direct.get(anc, ()))
+    return sorted(pairs)
+
+
+def raw_usage_sets(T_raw, type_property: str) -> tuple[set[str], set[str]]:
+    """(used properties, used classes) from the PRE-TBox-merge graph —
+    the reference's shape instantiation prunes on raw-graph usage
+    (shacl_shape_builder.py; see pizza-parity notes)."""
+    from pyspark.sql import functions as F
+
+    usage = T_raw.agg(
+        F.collect_set("p").alias("props"),
+        F.collect_set(
+            F.when(F.col("p") == type_property, F.col("o"))).alias("classes"),
+    ).first()
+    return set(usage["props"]), set(usage["classes"])

@@ -246,3 +246,54 @@ def test_vocab_scoring_empty_denominator(spark):
     assert rows[("LabelForClasses", None)] == 1.0
     assert rows[("LabelForProperties", None)] == 1.0  # empty denominator
     assert rows[("UndefinedClass", CLASS_A)] == 1.0
+
+
+def test_apply_ini_overlay(tmp_path):
+    """A reference-format INI (config/*.ini keys, dq_assessment.py:40-86)
+    fills the dqa args; explicit CLI flags win; root-relative paths
+    resolve against the INI's parent directory."""
+    import argparse
+
+    from main import _apply_ini
+
+    (tmp_path / "config").mkdir()
+    (tmp_path / "datasets").mkdir()
+    (tmp_path / "datasets" / "g.ttl").write_text("")
+    (tmp_path / "datasets" / "v.xml").write_text("")
+    ini = tmp_path / "config" / "t.ini"
+    ini.write_text(
+        "[settings]\n"
+        "dataset_name = t\n"
+        "graph_file = datasets/g.ttl\n"
+        "graph_file_format = ttl\n"
+        "base_namespace = http://ex.org/t#\n"
+        "type_property = http://ex.org/type\n"
+        "uris_max_length = 64\n"
+        "vocabularies = v1\n"
+        "[v1]\n"
+        "vocab_name = v1\n"
+        "file_path = datasets/v.xml\n"
+        "file_format = xml\n")
+    args = argparse.Namespace(
+        config=str(ini), triples=None, triples_format=None, metadata=None,
+        metadata_format=None, dataset_name=None, base_uri=None,
+        metadata_class=None, type_property=None, labeling_property=None,
+        description_property=None, interlinking_property=None,
+        uris_max_length=None, vocab=[], vocab_names=[], vocab_formats=[])
+    _apply_ini(args)
+    assert args.triples == str(tmp_path / "datasets" / "g.ttl")
+    assert args.triples_format == "ttl"
+    assert args.dataset_name == "t"
+    assert args.base_uri == "http://ex.org/t#"
+    assert args.type_property == "http://ex.org/type"
+    assert args.uris_max_length == 64
+    assert args.vocab == [str(tmp_path / "datasets" / "v.xml")]
+    assert args.vocab_names == ["v1"] and args.vocab_formats == ["xml"]
+
+    # explicit CLI flag wins over the INI value
+    args2 = argparse.Namespace(**{**vars(args), "triples": "/x/own.nt",
+                                  "uris_max_length": 80, "vocab": []})
+    args2.vocab_names, args2.vocab_formats = [], []
+    _apply_ini(args2)
+    assert args2.triples == "/x/own.nt"
+    assert args2.uris_max_length == 80

@@ -30,6 +30,7 @@ from shacl_dqa_prototype_spark.plans.profile import profile_graph
 from shacl_dqa_prototype_spark.plans.vocab import (
     mine_vocab,
     profile_to_vocab_terms,
+    subclass_closure,
     tbox_merge_rows,
     tbox_self_typing_rows,
 )
@@ -89,25 +90,6 @@ def build_report(spark):
     report = score_plan(spark, plan, profile, target="data")
     md_report = run_metadata_dqa(spark, metadata)
     return report, md_report, (vocab_rows, prof_v, T_raw)
-
-
-def subclass_closure(vocab_rows) -> list[tuple[str, str]]:
-    """Transitive (descendant, ancestor) pairs from rdfs:subClassOf."""
-    direct: dict[str, set[str]] = {}
-    for (s, p, o, *_r) in vocab_rows:
-        if p == f"{RDFS}subClassOf":
-            direct.setdefault(s, set()).add(o)
-    pairs: set[tuple[str, str]] = set()
-    for start in direct:
-        stack, seen = list(direct[start]), set()
-        while stack:
-            anc = stack.pop()
-            if anc in seen:
-                continue
-            seen.add(anc)
-            pairs.add((start, anc))
-            stack.extend(direct.get(anc, ()))
-    return sorted(pairs)
 
 
 def vocab_report(spark, vocab_rows, prof_v, T_raw):
