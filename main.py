@@ -214,10 +214,10 @@ def cmd_dqa(args) -> None:
         merged = tbox_merge_rows(vocab_rows, prof_v.classes)
         T = T_raw.unionByName(
             spark.createDataFrame(merged, TRIPLES_SCHEMA)).dropDuplicates()
-        # usage pruning stays on the RAW graph (reference semantics);
-        # sh:class follows the vocab subClassOf closure
-        used_props, used_classes = raw_usage_sets(T_raw, cfg.type_property)
         sub_pairs = subclass_closure(vocab_rows) or None
+    # usage pruning stays on the RAW graph (reference semantics);
+    # sh:class follows the vocab subClassOf closure
+    used_props, used_classes = raw_usage_sets(T_raw, cfg.type_property)
 
     reports = []
     if args.metadata:
@@ -261,6 +261,34 @@ def cmd_dqa(args) -> None:
 
     report_rows = report.collect()
     timings["data_shapes_elapsed_time"] = time.time() - t0
+
+    # A7 — instantiated shapes graphs as Turtle (reference
+    # dq_assessment.py:156-159, 212-218, 255-258)
+    from shacl_dqa_prototype_spark.plans.shapes_ttl import (
+        data_shapes_ttl,
+        metadata_shapes_ttl,
+        vocabulary_shapes_ttl,
+    )
+
+    shapes_dir = os.path.join(args.output, "shapes")
+    os.makedirs(shapes_dir, exist_ok=True)
+    with open(os.path.join(shapes_dir, "data_shapes.ttl"), "w") as f:
+        f.write(data_shapes_ttl(terms, disjoint, cfg, used_props, used_classes))
+    if args.metadata:
+        from shacl_dqa_prototype_spark.functions.terms import VOID
+
+        with open(os.path.join(shapes_dir, "metadata_shapes.ttl"), "w") as f:
+            f.write(metadata_shapes_ttl(
+                args.metadata_class or f"{VOID}Dataset"))
+    for name, rows in vocab_graphs:
+        ns = mine_vocab(rows).namespace
+        with open(os.path.join(
+                shapes_dir, f"vocabulary_shapes_{name}.ttl"), "w") as f:
+            f.write(vocabulary_shapes_ttl(
+                cfg.labeling_property, cfg.type_property,
+                sorted(c for c in used_classes if c and c.startswith(ns)),
+                sorted(p for p in used_props if p.startswith(ns))))
+
     write_reference_csv(
         reference_csv_rows(report_rows, uris_max_length=cfg.uris_max_length),
         os.path.join(args.output, "dq_assessment.csv"))
