@@ -696,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
         for b in range(16)
     )
     _mh_bucket_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, bk{b} AS bucket FROM sigs"
+        f"SELECT doc_id, {b} AS band, bk{b} AS bucket FROM bands"
         for b in range(16)
     )
     o["dedup_minhash_lsh"] = f"""
@@ -712,6 +712,7 @@ def oracle_sql() -> dict[str, str]:
       FROM toks t JOIN pos p ON p.i <= greatest(len(t.tk) - 5, 0)
       WHERE length(array_to_string(tk[p.i + 1 : p.i + 5], ' ')) > 0),
     sigs AS (SELECT doc_id, {_mh_mins} FROM shingles GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_mh_buckets} FROM sigs),
     buckets AS ({_mh_bucket_rows})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b

@@ -71,18 +71,16 @@ def decode_features(media: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                w, h, nf, feat = _fake_decode(r["kind"], r["payload"])
-                rows.append(
-                    (r["doc_id"], int(r["span_pos"]), r["kind"], r["media_ref"],
-                     w, h, nf, feat)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "span_pos", "kind", "media_ref",
-                         "width", "height", "n_frames", "feature"],
-            )
+            # column-wise zip, not iterrows() — the per-row kernel is the
+            # stub; the batch plumbing is the production pattern
+            decoded = [_fake_decode(k, p)
+                       for k, p in zip(pdf["kind"], pdf["payload"])]
+            out = pdf[["doc_id", "span_pos", "kind", "media_ref"]].copy()
+            out["width"] = [d[0] for d in decoded]
+            out["height"] = [d[1] for d in decoded]
+            out["n_frames"] = [d[2] for d in decoded]
+            out["feature"] = [d[3] for d in decoded]
+            yield out
 
     return media.mapInPandas(decode, schema=FEATURES_SCHEMA)
 

@@ -94,6 +94,17 @@ class VocabTerm:
 class ConstraintPlan:
     violations: DataFrame
     shapes: list[ShapeSpec] = field(default_factory=list)
+    # intermediate DataFrames compile cached (e.g. the exempt-entity set);
+    # long-lived sessions call unpersist() once scoring results are
+    # materialized — per-job drivers can ignore it
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for df in [self.violations, *self.cached]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def _v(df: DataFrame, metric: str, item: Column | str | None,
@@ -499,4 +510,4 @@ def compile_data_constraints(
     violations = reduce(DataFrame.unionByName, parts) if parts else (
         spark.createDataFrame([], VIOLATIONS_SCHEMA)
     )
-    return ConstraintPlan(violations=violations, shapes=shapes)
+    return ConstraintPlan(violations=violations, shapes=shapes, cached=[EnX])
