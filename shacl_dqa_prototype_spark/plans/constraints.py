@@ -146,10 +146,24 @@ def compile_data_constraints(
 
     # ---- shared sub-plans (each used by several families) ----------------
     typing = T.filter(p == cfg.type_property).select("s", "o")
-    entities = typing.select("s").distinct()
-    exempt = typing.filter(o.isin(EXEMPT_TYPES)).select("s").distinct()
-    # entity targets minus the sh:or exemption set
-    EnX = entities.join(exempt, "s", "left_anti").cache()
+
+    # ONE per-subject flags aggregation feeds every entity-scoped family
+    # (C2/C3/C6/C8-C13/C15): booleans combine map-side, so this costs a
+    # single #distinct-subjects-wide shuffle instead of the separate
+    # distinct + anti/semi-join shuffles each family would otherwise run —
+    # at 100 TB that is 1 shuffle of the subject set vs ~8.
+    subj = T.groupBy("s").agg(
+        F.max(p == cfg.type_property).alias("is_entity"),
+        F.max((p == cfg.type_property) & o.isin(EXEMPT_TYPES)).alias("is_exempt"),
+        F.max(p == cfg.labeling_property).alias("has_label"),
+        F.max(p == cfg.interlinking_property).alias("has_ilp"),
+        F.max((p == cfg.type_property) & o.isin(PROLIX_CLASSES)).alias("is_prolix"),
+        F.max((p == cfg.labeling_property) & F.col("o_lang").isNull()).alias("lbl_nolang"),
+        F.max((p == cfg.description_property) & F.col("o_lang").isNull()).alias("dsc_nolang"),
+    ).cache()
+    # entity targets minus the sh:or exemption set (rdfs:Class/rdf:Property/
+    # owl:NamedIndividual focus nodes are exempt — template:16-33)
+    EnX = subj.filter(F.col("is_entity") & ~F.col("is_exempt"))
 
     # sh:class semantics: SHACL instance = typed as the class OR any
     # rdfs:subClassOf descendant — extend typing through the closure dim.
@@ -204,9 +218,8 @@ def compile_data_constraints(
         "UsageHashURIsEntities", None, F.col("s")))
     add("UsageHashURIsEntities", None, "entities")
 
-    # ---- C3 LabelForEntities (template:36-59): minCount 1 anti-join -------
-    label_subjects = T.filter(p == cfg.labeling_property).select("s").distinct()
-    parts.append(_v(EnX.join(label_subjects, "s", "left_anti"),
+    # ---- C3 LabelForEntities (template:36-59): minCount 1 flag filter -----
+    parts.append(_v(EnX.filter(~F.col("has_label")),
                     "LabelForEntities", None, F.col("s")))
     add("LabelForEntities", None, "entities")
 
@@ -223,8 +236,7 @@ def compile_data_constraints(
         add("URISpaceComplianceEntities", None, "entities")
 
     # ---- C6 InterlinkingCompleteness (template:109-132) -------------------
-    ilp_subjects = T.filter(p == cfg.interlinking_property).select("s").distinct()
-    parts.append(_v(EnX.join(ilp_subjects, "s", "left_anti"),
+    parts.append(_v(EnX.filter(~F.col("has_ilp")),
                     "InterlinkingCompleteness", None, F.col("s")))
     add("InterlinkingCompleteness", None, "entities")
 
@@ -262,22 +274,20 @@ def compile_data_constraints(
     add("URIsParametersEntities", None, "entities")
 
     # ---- C10 ProlixFeatures (template:204-234) -----------------------------
-    prolix_subjects = typing.filter(o.isin(PROLIX_CLASSES)).select("s").distinct()
-    parts.append(_v(EnX.join(prolix_subjects, "s", "semi"),
+    parts.append(_v(EnX.filter(F.col("is_prolix")),
                     "ProlixFeatures", None, F.col("s")))
     add("ProlixFeatures", None, "entities")
 
     # ---- C11/C12 DifferentLanguages* (template:236-284, gated) ------------
     if cfg.check_languages:
-        for metric, prop in (
-            ("DifferentLanguagesLabelsEntities", cfg.labeling_property),
-            ("DifferentLanguagesDescriptionsEntities", cfg.description_property),
+        for metric, prop, flag in (
+            ("DifferentLanguagesLabelsEntities", cfg.labeling_property, "lbl_nolang"),
+            ("DifferentLanguagesDescriptionsEntities", cfg.description_property,
+             "dsc_nolang"),
         ):
-            bad = (
-                T.filter((p == prop) & F.col("o_lang").isNull())
-                .join(exempt, "s", "left_anti")
-                .select("s").distinct()
-            )
+            # subjects with >=1 untagged value of the property, minus the
+            # exemption set (the target here is NOT restricted to entities)
+            bad = subj.filter(~F.col("is_exempt") & F.col(flag))
             parts.append(_v(bad, metric, prop, F.col("s")))
             add(metric, prop, "subjects_per_property", prop)
 
@@ -510,4 +520,4 @@ def compile_data_constraints(
     violations = reduce(DataFrame.unionByName, parts) if parts else (
         spark.createDataFrame([], VIOLATIONS_SCHEMA)
     )
-    return ConstraintPlan(violations=violations, shapes=shapes, cached=[EnX])
+    return ConstraintPlan(violations=violations, shapes=shapes, cached=[subj])

@@ -87,11 +87,31 @@ def score_plan(
     )
 
     # D2/D3 numerator: distinct focus nodes per shape; sample list for D5.
-    per_shape = plan.violations.groupBy("metric", "item").agg(
-        F.countDistinct("focus").alias("num_violations"),
+    # Two-level aggregation keeps reducer state bounded: each salt bucket
+    # contributes an exact sub-count plus its local smallest-K sample; the
+    # final merge sums counts and re-sorts at most K × #buckets strings.
+    # A single collect_set over the group (the naive plan) would buffer
+    # EVERY distinct violation of a metric in one reducer — unbounded at
+    # 100 TB. The salt must be DETERMINISTIC (a hash of focus, not
+    # spark_partition_id): nondeterministic expressions make the plan fail
+    # sameResult checks, so downstream queries would never hit this DF's
+    # cache and silently re-aggregate.
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    d = plan.violations.select("metric", "item", "focus").distinct()
+    part = d.groupBy(
+        "metric", "item",
+        F.pmod(F.xxhash64("focus"), F.lit(n_buckets)).alias("_salt"),
+    ).agg(
+        F.count("*").alias("_c"),
+        F.slice(F.array_sort(F.collect_list("focus")),
+                1, MAX_VIOLATION_SAMPLES).alias("_tops"),
+    )
+    per_shape = part.groupBy("metric", "item").agg(
+        F.sum("_c").alias("num_violations"),
         F.concat_ws(
             "; ",
-            F.slice(F.array_sort(F.collect_set("focus")), 1, MAX_VIOLATION_SAMPLES),
+            F.slice(F.array_sort(F.flatten(F.collect_list("_tops"))),
+                    1, MAX_VIOLATION_SAMPLES),
         ).alias("violations"),
     )
 
@@ -149,6 +169,16 @@ def score_plan(
         F.col("num_violations").cast("long").alias("num_violations"),
         "violations",
     )
+    # Materialize NOW and truncate lineage (O(#shapes) rows): the meta
+    # rollup below re-reads this DF, and without materialization both
+    # union branches would re-run the whole violation aggregation inside
+    # one action. cache() is NOT enough — Spark's cache substitution
+    # failed to match the subtrees inside the union plan (measured: the
+    # union's optimized plan re-derived everything from parquet, 692
+    # scans), while localCheckpoint makes the materialized rows the plan's
+    # leaves outright. Non-reliable checkpoint loss just means re-running
+    # the (single-job) scoring — acceptable for a summary this small.
+    per_shape_report = per_shape_report.localCheckpoint(eager=True)
 
     # D4 — meta rollup for per-item families: share of items scoring 1.
     meta = (

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Cached plans freeze their output partitioning by default, so a
+        # cached N-branch union keeps every branch's full shuffle fan-out
+        # (measured 1760 partitions for the violations cache at sf0.1 —
+        # every downstream job paid ~1760 near-empty tasks). Letting AQE
+        # re-partition cached plans coalesces them to data-sized partitions.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # Default 64MB advisory size coalesces mid-size shuffles below the
         # core count, capping parallelism; 8MB keeps post-shuffle stages
         # wide enough while still merging truly tiny partitions.
