@@ -545,6 +545,59 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("cosine", 3).alias("cosine"))
     q["dedup_embedding_neardup"] = emb_neardup
 
+    # --- session_window sessionization (batch form of the streaming op) ----
+    def session_window_batch(spark, sf_dir):
+        from shacl_dqa_prototype_spark.streaming.stateful import (
+            sessionize_session_window,
+        )
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return sessionize_session_window(ev).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events", "total_value")
+    q["events_session_window"] = session_window_batch
+
+    # --- STREAMING session_window: drain the same events through
+    # readStream → session_window agg → memory sink (availableNow makes it
+    # deterministic) — shares the batch oracle.
+    def session_window_streaming(spark, sf_dir):
+        import tempfile
+        import uuid as _uuid
+
+        from shacl_dqa_prototype_spark.streaming.stateful import (
+            run_streaming_sessionize,
+        )
+
+        base = tempfile.mkdtemp(prefix="sessw_")
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.mode(
+            "overwrite").parquet(base + "/in")
+        res = run_streaming_sessionize(
+            spark, base + "/in", query_name=f"sess_{_uuid.uuid4().hex[:8]}")
+        return res.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events", "total_value")
+    q["kg_streaming_sessionize"] = session_window_streaming
+
+    # --- snapshot-log table (Iceberg-analog): two atomic appends, then a
+    # TIME-TRAVEL read of the first snapshot — the oracle re-derives the
+    # first commit's contents from the raw table, so isolation of the
+    # second commit from snapshot 1 is what's actually checked.
+    def snapshot_time_travel(spark, sf_dir):
+        import tempfile
+
+        from shacl_dqa_prototype_spark.schemas import EVENTS_SCHEMA
+        from shacl_dqa_prototype_spark.sources.snapshots import SnapshotTable
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+            *[f.name for f in EVENTS_SCHEMA.fields])
+        t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_"), EVENTS_SCHEMA)
+        s1 = t.commit_append(ev.filter(F.col("user_id") % 3 == 0))
+        t.commit_append(ev.filter(F.col("user_id") % 3 != 0))
+        return t.read(s1).select("event_id", "user_id", "event_type", "value")
+    q["snapshot_time_travel"] = snapshot_time_travel
+
     return q
 
 
@@ -873,5 +926,32 @@ def ext_oracles() -> dict[str, str]:
            round(list_cosine_similarity(a.e, b.e), 3) AS cosine
     FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.e, b.e) >= 0.95"""
+
+    # session_window semantics: a session breaks when the gap since the
+    # previous event is >= the gap duration (the window closes at
+    # prev_ts + gap, and an event AT the close starts a new window);
+    # session_start = first event's ts.
+    o["events_session_window"] = """
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(date_trunc('second', ts))
+                       - epoch(date_trunc('second', lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    y AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM x)
+    SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM y GROUP BY user_id, sid"""
+    # deterministic availableNow drain ⇒ the streaming form shares it
+    o["kg_streaming_sessionize"] = o["events_session_window"]
+
+    o["snapshot_time_travel"] = """
+    SELECT event_id, user_id, event_type, value
+    FROM events WHERE user_id % 3 = 0"""
 
     return o

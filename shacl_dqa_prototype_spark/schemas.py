@@ -17,6 +17,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 # --- Primary input (BASELINE.json input_hint): interleaved text+media docs ---
@@ -136,5 +137,17 @@ MANIFEST_SCHEMA = StructType(
         StructField("partitions", IntegerType(), False),
         StructField("payload", StringType(), True),       # JSON extras (path, counters)
         StructField("seq", LongType(), False),            # monotone commit sequence
+    ]
+)
+
+# --- Events feed (driver testdata events.parquet; streaming ops) ---
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
     ]
 )

@@ -54,6 +54,37 @@ def start_incremental_extraction(
     return writer.start()
 
 
+def start_incremental_extraction_snapshots(
+    spark: SparkSession,
+    input_dir: str,
+    table,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming extraction whose sink is a SnapshotTable: each microbatch
+    commits atomically as ONE snapshot append, so readers never observe a
+    partial batch and the snapshot log records streaming progress
+    (epoch → snapshot) alongside Spark's own checkpoint. On restart Spark
+    may replay the last uncommitted-to-checkpoint epoch — the epoch id in
+    the log makes the commit idempotent (replayed epochs are skipped)."""
+    docs = stream_documents(spark, input_dir)
+    mentions = extract_fact_mentions(docs)
+
+    def _commit_batch(batch_df, epoch_id: int) -> None:
+        if any(s.get("epoch") == epoch_id for s in table.snapshots()):
+            return  # replayed epoch after restart — already committed
+        table.commit_append(batch_df, extra={"epoch": epoch_id})
+
+    writer = (
+        mentions.writeStream.outputMode("append")
+        .foreachBatch(_commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_doc_counts(
     spark: SparkSession, input_dir: str, window: str = "1 minute"
 ) -> DataFrame:
