@@ -734,4 +734,6 @@ def oracle_sql() -> dict[str, str]:
     from entry_ext import ext_oracles
 
     o.update(ext_oracles())
+    # incremental DQA derives the same violation set from mergeable state
+    o["incremental_dqa_label"] = o["shape_label_for_entities"]
     return o

@@ -598,6 +598,31 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.read(s1).select("event_id", "user_id", "event_type", "value")
     q["snapshot_time_travel"] = snapshot_time_travel
 
+    # --- incremental DQA: fold the triple view in as TWO snapshot appends,
+    # derive LabelForEntities from the merged state — must equal the batch
+    # plan AND the DuckDB oracle (shares shape_label_for_entities' SQL).
+    def incremental_label(spark, sf_dir):
+        import tempfile
+
+        import __spark_entry__ as core
+        from shacl_dqa_prototype_spark.plans.incremental import (
+            IncrementalDQAState,
+            apply_delta,
+            violations_from_state,
+        )
+
+        T = core._triples(spark, sf_dir)
+        state = IncrementalDQAState.open(
+            spark, tempfile.mkdtemp(prefix="incdqa_"))
+        ifp = [t.term for t in core.ENTRY_VOCAB if t.inverse_functional]
+        split = F.abs(F.xxhash64("s")) % 2 == 0
+        apply_delta(state, T.filter(split), core.ENTRY_CFG, ifp, n_buckets=8)
+        apply_delta(state, T.filter(~split), core.ENTRY_CFG, ifp, n_buckets=8)
+        v = violations_from_state(state, core.ENTRY_VOCAB, core.ENTRY_CFG)
+        return (v.filter(F.col("metric") == "LabelForEntities")
+                .select("focus").distinct())
+    q["incremental_dqa_label"] = incremental_label
+
     return q
 
 

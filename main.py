@@ -314,6 +314,7 @@ def cmd_dqa(args) -> None:
     }
     with open(run_info_path, "w", encoding="utf-8") as f:
         json.dump(run_info, f, indent=4)
+    plan.unpersist()  # outputs are materialized; release executor memory
     print(json.dumps({"report_rows": len(report_rows), "output": args.output,
                       "profile": profile.as_dict()}))
 
