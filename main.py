@@ -289,9 +289,13 @@ def cmd_dqa(args) -> None:
                 sorted(c for c in used_classes if c and c.startswith(ns)),
                 sorted(p for p in used_props if p.startswith(ns))))
 
+    # reference file naming: dq_assessment_<dataset>.csv with the name
+    # lowercased and spaces underscored (dq_assessment.py:61-62, 1280)
+    ds = (args.dataset_name or "").lower().replace(" ", "_")
+    csv_name = f"dq_assessment_{ds}.csv" if ds else "dq_assessment.csv"
     write_reference_csv(
         reference_csv_rows(report_rows, uris_max_length=cfg.uris_max_length),
-        os.path.join(args.output, "dq_assessment.csv"))
+        os.path.join(args.output, csv_name))
     with open(os.path.join(args.output, "profile.json"), "w") as f:
         json.dump(profile.as_dict(), f, indent=2)
 

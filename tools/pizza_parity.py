@@ -264,6 +264,15 @@ def compare_csv(report, md_report, vrep) -> list[str]:
         got[inv.get(r["shape_name"], name)] = r
 
     errors = []
+    # row ORDER parity: the golden's row sequence must match ours exactly
+    # (reference_csv_rows emits in the reference's emission order)
+    def _seq(names):
+        return [inv.get(n, _norm_name(n)) for n in names]
+    with open(f"{PIZZA}/results/dq_assessment_pizza.csv") as f:
+        golden_seq = _seq(row["shape_name"] for row in csv.DictReader(f))
+    ours_seq = _seq(str(r["shape_name"]) for r in ours)
+    if ours_seq != golden_seq:
+        errors.append(f"CSV ROW ORDER: ours={ours_seq} golden={golden_seq}")
     exact_cols = [c for c in CSV_COLUMNS
                   if c not in ("score", "num_violations", "violations",
                                "shape_name")]
