@@ -49,17 +49,38 @@ _NT_LINE = re.compile(
     r"\s*\.\s*$"
 )
 
-_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
+_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\",
+            "\\b": "\b", "\\f": "\f", "\\'": "'"}
+_ESCAPE_RE = re.compile(r"\\u[0-9a-fA-F]{4}|\\U[0-9a-fA-F]{8}|\\.")
 
 
 def _unescape(lit: str) -> str:
-    return re.sub(r"\\.", lambda m: _ESCAPES.get(m.group(0), m.group(0)), lit)
+    """N-Triples string unescaping: the named ECHAR escapes plus numeric
+    \\uXXXX / \\UXXXXXXXX (RDF 1.1 N-Triples grammar, UCHAR)."""
+    def sub(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok[1] in "uU":
+            return chr(int(tok[2:], 16))
+        return _ESCAPES.get(tok, tok)
+
+    return _ESCAPE_RE.sub(sub, lit)
 
 
 def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     """spark.read.text → vectorized per-batch regex shredding. Each line is
     independent, so this parallelizes to any file size."""
     lines = spark.read.text(path)
+
+    def unesc(col: pd.Series) -> pd.Series:
+        """Unescape only rows that contain a backslash — real corpora have
+        few escaped terms, so the Python-level calls are the exception."""
+        # `== True` maps the NaNs (non-matching rows) to False without the
+        # object-dtype fillna downcasting warning
+        has_esc = col.str.contains("\\", regex=False) == True  # noqa: E712
+        if has_esc.any():
+            col = col.copy()
+            col[has_esc] = col[has_esc].map(_unescape)
+        return col
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -69,9 +90,9 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
             o_kind = pd.Series("literal", index=sub.index)
             o_kind[sub["o_iri"].notna()] = "iri"
             o_kind[sub["o_bn"].notna()] = "bnode"
-            o = sub["o_iri"].fillna(sub["o_bn"]).fillna(
-                sub["o_lit"].map(lambda x: _unescape(x) if isinstance(x, str) else x)
-            )
+            # IRIs may carry UCHAR escapes too (N-Triples grammar)
+            o = unesc(sub["o_iri"]).fillna(sub["o_bn"]).fillna(
+                unesc(sub["o_lit"]))
             # lang-tagged literals are rdf:langString (RDF 1.1), mirroring
             # parse_turtle/parse_rdfxml — otherwise a lang-tagged literal
             # loaded from .nt would default to xsd:string downstream and
@@ -80,8 +101,8 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
             o_dtype = sub["dt"].where(sub["lang"].isna(), f"{RDF_NS}langString")
             yield pd.DataFrame(
                 {
-                    "s": sub["s_iri"].fillna(sub["s_bn"]),
-                    "p": sub["p"],
+                    "s": unesc(sub["s_iri"]).fillna(sub["s_bn"]),
+                    "p": unesc(sub["p"]),
                     "o": o,
                     "o_kind": o_kind,
                     "o_dtype": o_dtype,

@@ -1,0 +1,199 @@
+"""Property-based hardening of the two pure-grammar surfaces:
+
+* the N-Triples line grammar (sources/rdf.py: _NT_LINE + _unescape) —
+  hypothesis-generated terms, serialized with ECHAR and UCHAR escaping,
+  must roundtrip exactly (reference ingests via rdflib, utils.py:66-67;
+  our distributed parser must accept the same lines);
+* the XSD lexical checks (functions/xsd.py) — curated valid/invalid
+  lexical forms from the public XSD 1.1 spec evaluated through the real
+  Spark expression, plus a Java-vs-Python regex dialect agreement sweep
+  (the pipeline evaluates the patterns in java.util.regex via rlike; a
+  pattern that silently means something else in Java would pass every
+  Python-side unit test and still misvalidate in production).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from shacl_dqa_prototype_spark.sources.rdf import _NT_LINE, _unescape
+
+# ---------------------------------------------------------------------------
+# N-Triples line grammar
+# ---------------------------------------------------------------------------
+
+_ECHAR = {"\\": "\\\\", '"': '\\"', "\n": "\\n", "\r": "\\r", "\t": "\\t",
+          "\b": "\\b", "\f": "\\f"}
+
+
+def nt_escape(s: str) -> str:
+    return "".join(_ECHAR.get(c, c) for c in s)
+
+
+def nt_escape_numeric(s: str) -> str:
+    """Escape EVERY char as \\uXXXX / \\UXXXXXXXX (legal per UCHAR)."""
+    return "".join(
+        f"\\u{ord(c):04x}" if ord(c) < 0x10000 else f"\\U{ord(c):08x}"
+        for c in s
+    )
+
+
+# IRIREF content: anything except control chars and <>"{}|^`\ and space
+_iri_text = st.text(
+    alphabet=st.characters(
+        blacklist_characters='<>"{}|^`\\ \x7f',
+        blacklist_categories=("Cs", "Cc"),
+    ),
+    min_size=1,
+    max_size=40,
+)
+_lit_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=60,
+)
+_lang = st.from_regex(r"[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8}){0,2}", fullmatch=True)
+_bnode = st.from_regex(r"_:[A-Za-z][A-Za-z0-9]{0,10}", fullmatch=True)
+
+
+def _parse_line(line: str):
+    """Scalar emulation of the mapInPandas batch parser: one row dict or
+    None, with the same unescaping rules."""
+    m = _NT_LINE.match(line)
+    if not m or m.group("p") is None:
+        return None
+    g = m.groupdict()
+    s = _unescape(g["s_iri"]) if g["s_iri"] is not None else g["s_bn"]
+    if g["o_iri"] is not None:
+        o, kind = _unescape(g["o_iri"]), "iri"
+    elif g["o_bn"] is not None:
+        o, kind = g["o_bn"], "bnode"
+    else:
+        o, kind = _unescape(g["o_lit"]), "literal"
+    return {"s": s, "p": _unescape(g["p"]), "o": o, "o_kind": kind,
+            "o_lang": g["lang"], "o_dt": g["dt"]}
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=_iri_text, p=_iri_text, lit=_lit_text, lang=_lang, dt=_iri_text,
+       obj_form=st.integers(0, 3), numeric=st.booleans())
+def test_nt_line_roundtrip(s, p, lit, lang, dt, obj_form, numeric):
+    esc = nt_escape_numeric if numeric else nt_escape
+    if obj_form == 0:  # plain literal
+        obj, want = f'"{esc(lit)}"', (lit, "literal", None, None)
+    elif obj_form == 1:  # lang-tagged
+        obj, want = f'"{esc(lit)}"@{lang}', (lit, "literal", lang, None)
+    elif obj_form == 2:  # typed
+        obj, want = f'"{esc(lit)}"^^<{dt}>', (lit, "literal", None, dt)
+    else:  # IRI object
+        obj, want = f"<{esc(s)}>", (s, "iri", None, None)
+
+    line = f"<{esc(s)}> <{esc(p)}> {obj} ."
+    row = _parse_line(line)
+    assert row is not None, line
+    assert row["s"] == s and row["p"] == p
+    assert (row["o"], row["o_kind"], row["o_lang"], row["o_dt"]) == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(s=_bnode, p=_iri_text, o=_bnode)
+def test_nt_line_bnodes(s, p, o):
+    row = _parse_line(f"{s} <{nt_escape(p)}> {o} .")
+    assert row == {"s": s, "p": p, "o": o, "o_kind": "bnode",
+                   "o_lang": None, "o_dt": None}
+
+
+@pytest.mark.parametrize("junk", [
+    "", "# a comment", "<a> <b> .", "<a> <b> <c>",          # no final dot
+    '<a> <b> "unterminated .', "<a> literal-predicate <c> .",
+])
+def test_nt_line_rejects_junk(junk):
+    assert _parse_line(junk) is None
+
+
+# ---------------------------------------------------------------------------
+# XSD lexical checks — curated spec examples, evaluated through Spark
+# ---------------------------------------------------------------------------
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# (datatype localname, valid forms, invalid forms) — public XSD 1.1 spec
+XSD_CASES = [
+    ("integer", ["0", "-5", "+42", "00012"], ["", "1.0", "1e2", "five", "-"]),
+    ("decimal", ["3.14", "-.5", "+2.", "7"], ["", "1e2", "INF", "1,5"]),
+    ("double", ["1.5E2", "-INF", "NaN", ".5", "3"], ["", "INF3", "e2", "1.5ee"]),
+    ("float", ["+INF", "1e-9", "0.0"], ["nan", "inf", "1 2"]),
+    ("boolean", ["true", "false", "0", "1"], ["", "True", "yes", "2"]),
+    ("date", ["2024-02-29", "0001-01-01Z", "2024-12-31+05:30"],
+             ["2024-13-01", "2024-2-9", "24-01-01", "2024-00-10"]),
+    ("time", ["13:20:00", "24:00:00", "09:00:00.5Z", "23:59:59-14:00"],
+             ["25:00:00", "13:60:00", "1:00:00", "13:20"]),
+    ("dateTime", ["2024-01-02T03:04:05", "2024-01-02T03:04:05.6Z"],
+                 ["2024-01-02", "03:04:05", "2024-01-02 03:04:05"]),
+    ("gYear", ["2024", "-0044", "0999Z"], ["24", "25", "2024-01"]),
+    ("gYearMonth", ["2024-05"], ["2024", "2024-13"]),
+    ("duration", ["P1Y2M3DT4H5M6S", "PT0.5S", "-P7D"],
+                 ["1Y", "P-1Y"]),
+    ("yearMonthDuration", ["P1Y", "-P2M"], ["P1D", "PT1H"]),
+    ("dayTimeDuration", ["P1DT2H", "PT3M"], ["P1Y"]),
+    ("byte", ["-128", "+127"], ["a", "1.0"]),
+    ("unsignedInt", ["0", "42"], ["-1", "+1"]),
+    ("positiveInteger", ["1", "999"], ["0", "-1", "+1"]),
+    ("nonNegativeInteger", ["0", "7"], ["-1"]),
+    ("negativeInteger", ["-1"], ["0", "1", "-0"]),
+    ("nonPositiveInteger", ["-5", "0"], ["1", "-"]),
+    ("hexBinary", ["", "0FB7", "abcd"], ["0FB", "0x17", "GG"]),
+    ("base64Binary", ["", "TWFu", "TWE=", "TQ=="], ["T", "TWFu=", "T!Q="]),
+    ("language", ["en", "en-US", "x-klingon1"], ["", "a b", "toolonglang1"]),
+    ("string", ["anything at all\neven newlines"], []),
+]
+
+
+def test_xsd_curated_cases(spark):
+    """Every curated lexical form judged by the REAL Spark expression."""
+    from pyspark.sql import functions as F
+
+    from shacl_dqa_prototype_spark.functions.xsd import well_formed_expr
+
+    rows = [(f"{_XSD}{dt}", lex, True) for dt, ok, bad in XSD_CASES for lex in ok]
+    rows += [(f"{_XSD}{dt}", lex, False) for dt, ok, bad in XSD_CASES for lex in bad]
+    df = spark.createDataFrame(rows, "o_dtype string, o string, want boolean")
+    got = df.withColumn(
+        "ok", well_formed_expr(F.col("o"), F.col("o_dtype"))).collect()
+    wrong = [(r["o_dtype"].split("#")[1], r["o"], r["ok"], r["want"])
+             for r in got if bool(r["ok"]) != r["want"]]
+    assert not wrong, wrong
+
+
+def test_xsd_java_python_regex_agreement(spark):
+    """rlike (java.util.regex) and Python re must agree on every pattern
+    over an adversarial ASCII corpus — catches dialect drift (\\w, inline
+    flags, alternation) that Python-only tests would miss."""
+    from pyspark.sql import functions as F
+
+    from shacl_dqa_prototype_spark.functions.xsd import (
+        XSD_REGEX_PATTERNS,
+        well_formed_expr,
+    )
+
+    rng = random.Random(20260817)
+    alphabet = "0123456789+-.eEINFaNTZP:YMDHS truefalse_ABCxyz/="
+    corpus = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+        for _ in range(400)
+    })
+    rows = [(dt, s) for dt in XSD_REGEX_PATTERNS for s in corpus]
+    df = spark.createDataFrame(rows, "o_dtype string, o string")
+    got = df.withColumn(
+        "ok", well_formed_expr(F.col("o"), F.col("o_dtype"))).collect()
+    compiled = {dt: re.compile(p) for dt, p in XSD_REGEX_PATTERNS.items()}
+    wrong = [
+        (r["o_dtype"].split("#")[1], r["o"], bool(r["ok"]))
+        for r in got
+        if bool(r["ok"]) != bool(compiled[r["o_dtype"]].search(r["o"]))
+    ]
+    assert not wrong, wrong[:10]
