@@ -430,11 +430,14 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multimodal plumbing (decode is a deterministic stub) --------------
     q["kg_media_features"] = lambda s, d: decode_features(
         materialize_media(explode_spans(_interleaved(s, d)))
-    ).select("doc_id", "span_pos", "kind", "media_ref",
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "span_pos", "kind", "media_ref",
              "width", "height", "n_frames")
     q["kg_frame_sample"] = lambda s, d: frame_sample_plan(
         decode_features(materialize_media(explode_spans(_interleaved(s, d)))),
-        every_n=60)
+        every_n=60,
+    ).select(F.col("doc_id").cast("long").alias("doc_id"),
+             "media_ref", "frame_idx")
 
     # --- dedup clustering: pair edges → connected components → canonical
     # doc per cluster. Input seeds exact duplicates (shifted-id copies of
@@ -883,6 +886,47 @@ def ext_oracles() -> dict[str, str]:
 
     o["kg_span_invariant"] = """
     SELECT count(*) AS n_docs, CAST(0 AS BIGINT) AS n_bad FROM documents"""
+
+    # fake decode (operators/multimodal.py): payload = ascii-hex
+    # sha256(ref)*4, d = sha256(payload) — byte-reproducible in DuckDB as
+    # sha256(repeat(sha256(ref), 4)); byte k parsed from the hex digest
+    def hexbyte(k: int) -> str:
+        return (f"(strpos('0123456789abcdef', substr(dh,{2*k+1},1))-1)*16"
+                f" + strpos('0123456789abcdef', substr(dh,{2*k+2},1))-1")
+
+    _media_decoded = f"""
+    WITH spans AS (
+      SELECT doc_id, 1 AS span_pos, 'image' AS kind,
+             concat('img://', doc_id) AS media_ref
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END, 'audio',
+             concat('aud://', doc_id)
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id,
+             1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END,
+             'video', concat('vid://', doc_id)
+      FROM documents WHERE doc_id % 7 = 0
+    ), dec AS (
+      SELECT *, sha256(repeat(sha256(media_ref), 4)) AS dh FROM spans
+    ), feat AS (
+      SELECT doc_id, span_pos, kind, media_ref,
+             64 + ({hexbyte(0)}) % 192 AS width,
+             64 + ({hexbyte(1)}) % 192 AS height,
+             CASE WHEN kind = 'image' THEN 1
+                  ELSE 1 + ({hexbyte(2)}) % 300 END AS n_frames
+      FROM dec
+    )"""
+
+    o["kg_media_features"] = _media_decoded + """
+    SELECT doc_id, span_pos, kind, media_ref, width, height, n_frames
+    FROM feat"""
+
+    o["kg_frame_sample"] = _media_decoded + """
+    SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx
+    FROM feat WHERE kind = 'video'"""
 
     o["kg_extract_mentions"] = f"""
     SELECT doc_id, concat('D', doc_id) AS subj_surface,

@@ -34,8 +34,11 @@ def materialize_media(exploded: DataFrame) -> DataFrame:
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # ASCII-hex pseudo-payload (256 bytes) rather than raw digest
+            # bytes: byte-identical to repeat(sha256(ref), 4) in ANSI SQL,
+            # so the decode chain is DuckDB-oracle-able end to end
             payloads = [
-                hashlib.sha256((r or "").encode()).digest() * 4  # 128 bytes
+                (hashlib.sha256((r or "").encode()).hexdigest() * 4).encode()
                 for r in pdf["media_ref"]
             ]
             yield pd.DataFrame(
