@@ -12,7 +12,10 @@ by running the same construction job at local[8] and local[32]
 (BASELINE.json north_rule; see BASELINE.md).
 
 Run `python bench.py --scaling` to include the (slower) two-parallelism
-scaling measurement; the default run reports queries + construction.
+scaling measurement; `--dqa-throughput` to measure the assessment half
+alone over a large constructed KG (the number comparable to the
+reference's ≈3 h drugbank run); the default run reports queries +
+construction.
 """
 
 from __future__ import annotations
@@ -143,6 +146,38 @@ def _materialize_corpus(n_docs: int) -> tuple[str, "GenConfig"]:
     return corpus_dir, cfg
 
 
+def _run_dqa(spark, triples_path: str, report_path: str) -> None:
+    """The DQA half alone: profile + compiled constraint evaluation +
+    scoring + report write over an existing triple table."""
+    from shacl_dqa_prototype_spark.datagen import (
+        EX,
+        P_CREATED_ON,
+        P_DEPICTED_IN,
+        P_LABEL,
+        P_LOCATED_IN,
+        P_TOPPING,
+        XSD_DATE,
+    )
+    from shacl_dqa_prototype_spark.plans.constraints import DQAConfig, VocabTerm
+    from shacl_dqa_prototype_spark.plans.dqa import run_data_dqa
+    from shacl_dqa_prototype_spark.sources.sinks import read_triples
+
+    T = read_triples(spark, triples_path)
+    vocab = [
+        VocabTerm(P_TOPPING, "object_property"),
+        VocabTerm(P_LOCATED_IN, "object_property"),
+        VocabTerm(P_CREATED_ON, "datatype_property", range=XSD_DATE,
+                  range_kind="literal", functional=True),
+        VocabTerm(P_DEPICTED_IN, "object_property"),
+    ]
+    dqa_cfg = DQAConfig(
+        type_property="rdf:type", labeling_property=P_LABEL,
+        interlinking_property="http://www.w3.org/2002/07/owl#sameAs",
+        base_uri=EX)
+    run_data_dqa(T, vocab, [], dqa_cfg).write.mode("overwrite").parquet(
+        report_path)
+
+
 def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
                       with_dqa: bool = False) -> tuple[float, int]:
     """Construction job (read corpus → extract → link → CC → materialize)
@@ -162,33 +197,7 @@ def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
     # fixed bucket count so different-parallelism runs do identical work
     res = run_construction(spark, docs, dictionary, wd, n_buckets=32)
     if with_dqa:
-        from shacl_dqa_prototype_spark.datagen import (
-            EX,
-            P_CREATED_ON,
-            P_DEPICTED_IN,
-            P_LABEL,
-            P_LOCATED_IN,
-            P_TOPPING,
-            XSD_DATE,
-        )
-        from shacl_dqa_prototype_spark.plans.constraints import DQAConfig, VocabTerm
-        from shacl_dqa_prototype_spark.plans.dqa import run_data_dqa
-        from shacl_dqa_prototype_spark.sources.sinks import read_triples
-
-        T = read_triples(spark, res.triples_path)
-        vocab = [
-            VocabTerm(P_TOPPING, "object_property"),
-            VocabTerm(P_LOCATED_IN, "object_property"),
-            VocabTerm(P_CREATED_ON, "datatype_property", range=XSD_DATE,
-                      range_kind="literal", functional=True),
-            VocabTerm(P_DEPICTED_IN, "object_property"),
-        ]
-        dqa_cfg = DQAConfig(
-            type_property="rdf:type", labeling_property=P_LABEL,
-            interlinking_property="http://www.w3.org/2002/07/owl#sameAs",
-            base_uri=EX)
-        run_data_dqa(T, vocab, [], dqa_cfg).write.mode("overwrite").parquet(
-            os.path.join(wd, "report"))
+        _run_dqa(spark, res.triples_path, os.path.join(wd, "report"))
     dt = time.time() - t0
     n_triples = spark.read.parquet(
         os.path.join(wd, "triples.parquet")).count()
@@ -228,6 +237,38 @@ def main() -> None:
         "construction": construction,
         "fingerprint_longdoc": _fingerprint_micro(),
     }
+
+    if "--dqa-throughput" in sys.argv:
+        # Assessment-only throughput on a large KG — the number directly
+        # comparable to the reference's ≈3 h drugbank DQA run: construct
+        # once (untimed fixture), then time ONLY profile + compiled
+        # constraint evaluation + scoring + report write.
+        n_dq = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 8_000_000))
+        dq_corpus, dq_cfg = _materialize_corpus(n_dq)
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(f"bench-dqa-{CPUS}", cores=CPUS)
+        docs = spark.read.parquet(
+            os.path.join(dq_corpus, "documents.parquet"))
+        wd = tempfile.mkdtemp(prefix="bench_dqa_")
+        res = run_construction(spark, docs, entity_dictionary(spark, dq_cfg),
+                               wd, n_buckets=32)
+        n_t = spark.read.parquet(os.path.join(wd, "triples.parquet")).count()
+        t0 = time.time()
+        _run_dqa(spark, res.triples_path, os.path.join(wd, "report"))
+        dq_sec = time.time() - t0
+        out["dqa_throughput"] = {
+            "cores": CPUS,
+            "n_triples": n_t,
+            "sec": round(dq_sec, 2),
+            "triples_per_sec": round(n_t / dq_sec, 1),
+        }
+        spark.stop()
+        shutil.rmtree(wd, ignore_errors=True)
+        shutil.rmtree(dq_corpus, ignore_errors=True)
 
     if do_scaling:
         # N→4N scaling evidence (BASELINE.json north_rule), sandbox proxy:

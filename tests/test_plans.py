@@ -1,0 +1,97 @@
+"""Plan-regression tests: the physical plans the engine promises are
+asserted, not just eyeballed — a refactor that silently drops a pushed
+filter, de-broadcasts a dimension join, or sneaks a row-at-a-time Python
+UDF into a hot path fails CI, the same way a wrong result would.
+
+All assertions run on `explainString("formatted")` of the driver-contract
+queries at sf0.001 (plan shape is scale-invariant; AQE leaf markers are).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _op_count(s: str, op: str) -> int:
+    """Count operator occurrences via the detail-section headers
+    ('(3) Exchange') — formatted mode prints each operator twice."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", s, re.M))
+
+
+def _explain(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def contract():
+    import __spark_entry__ as e
+
+    return e.queries()
+
+
+def test_tpch_q1_scan_is_pruned_and_pushed(spark, contract):
+    """The scan must read only the 6 needed columns (of 16) and push the
+    shipdate predicate into the parquet reader."""
+    s = _explain(spark, contract["tpch_q1_pricing"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in s
+    # column pruning: wide lineitem columns absent from ReadSchema
+    read_schema = next(l for l in s.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+    # map-side partial aggregation, exactly one shuffle
+    assert "partial_sum" in s
+    assert _op_count(s, "Exchange") == 1
+
+
+def test_dimension_joins_broadcast(spark, contract):
+    """Small-dimension joins must be broadcast, never shuffled-merge."""
+    for name in ("top_customer_per_nation", "customers_without_orders",
+                 "kg_link_entities"):
+        s = _explain(spark, contract[name](spark, SF))
+        assert "BroadcastHashJoin" in s, name
+        assert "SortMergeJoin" not in s, f"{name}: dimension join shuffled"
+
+
+def test_window_top1_single_shuffle_per_key(spark, contract):
+    """row_number top-1 per nation: one hash-partitioning exchange on the
+    window key feeds the sort+window — no extra global sort."""
+    s = _explain(spark, contract["top_customer_per_nation"](spark, SF))
+    assert "Window" in s
+    assert "hashpartitioning(n_nationkey" in s or "hashpartitioning(c_nationkey" in s
+
+
+def test_exact_dedup_is_one_aggregation(spark, contract):
+    """Exact dedup = hash groupBy on the digest: partial agg + 1 shuffle
+    (+ AQE output exchange), no join, no sort."""
+    s = _explain(spark, contract["dedup_exact"](spark, SF))
+    assert "SortMergeJoin" not in s and "Join" not in s
+    assert "partial_" in s
+
+
+# Representative slice of every operator family; kept small enough that the
+# sweep stays under ~2 min of plan-building.
+SWEEP = [
+    "profile_scalars", "profile_entities_per_class",
+    "shape_functional_property", "shape_correct_range_class",
+    "shape2_misplaced_props", "dqa_scores", "dqa2_meta_rollup",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_neardup",
+    "sim_topk_cosine", "sim_ann_ivf",
+    "text_token_count", "text_fingerprint",
+    "kg_extract_mentions", "kg_link_entities", "kg_media_features",
+    "events_sessionize", "rdf_ntriples_roundtrip",
+]
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_no_rowwise_python_or_cartesian(spark, contract, name):
+    """No contract plan may contain a row-at-a-time Python UDF
+    (BatchEvalPython — Arrow-batched ArrowEvalPython/mapInPandas are the
+    only Python surfaces allowed) or an unconditional CartesianProduct."""
+    s = _explain(spark, contract[name](spark, SF))
+    assert "BatchEvalPython" not in s, f"{name}: row-wise Python UDF"
+    assert "CartesianProduct" not in s, f"{name}: cartesian join"
