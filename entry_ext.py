@@ -601,6 +601,39 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.read(s1).select("event_id", "user_id", "event_type", "value")
     q["snapshot_time_travel"] = snapshot_time_travel
 
+    # --- training-pipeline composition ops (operators/pipeline.py) -------
+    def pipe_pack(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.pipeline import pack_sequences
+        from shacl_dqa_prototype_spark.operators.textstats import token_count
+
+        toks = token_count(_docs_flat(spark, sf_dir)).select(
+            "doc_id", F.col("n_tokens_ws").alias("n_tokens"))
+        # portable shard fn (doc_id % 8) so DuckDB reproduces placement;
+        # the default is xxhash64 sharding
+        return pack_sequences(toks, seq_len=512, shard_col=F.col("doc_id") % 8)
+    q["pipe_pack_sequences"] = pipe_pack
+
+    def pipe_sample(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.pipeline import stratified_sample
+
+        d = _docs_flat(spark, sf_dir).select("doc_id", "lang")
+        return stratified_sample(
+            d, "lang", {"en": 0.5, "es": 0.25, "de": 0.1, "zh": 0.1})
+    q["pipe_stratified_sample"] = pipe_sample
+
+    def pipe_redact(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.pipeline import redact_pii
+
+        d = _docs_flat(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 (555) 123-4567 at 192.168.0."),
+                (F.col("doc_id") % 255).cast("string")).alias("text"))
+        return redact_pii(d)
+    q["pipe_redact_pii"] = pipe_redact
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive LabelForEntities from the merged state — must equal the batch
     # plan AND the DuckDB oracle (shares shape_label_for_entities' SQL).
@@ -923,6 +956,52 @@ def ext_oracles() -> dict[str, str]:
     o["kg_media_features"] = _media_decoded + """
     SELECT doc_id, span_pos, kind, media_ref, width, height, n_frames
     FROM feat"""
+
+    o["pipe_pack_sequences"] = r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS cum_before
+      FROM toks)
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS pack_offset,
+           CAST(floor((cum_before + n_tokens - 1) / 512.0)
+                - floor(cum_before / 512.0) + 1 AS BIGINT) AS n_packs
+    FROM c"""
+
+    # u = first 4 hex chars of md5(lang||'|'||doc_id) as uniform in [0,1)
+    _nib = ("(strpos('0123456789abcdef', substr(h,{i},1))-1)")
+    _u16 = " + ".join(f"{_nib.format(i=i+1)}*{16 ** (3 - i)}" for i in range(4))
+    o["pipe_stratified_sample"] = f"""
+    WITH x AS (
+      SELECT doc_id, lang,
+             md5(concat(lang, '|', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents)
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, ({_u16}) / 65536.0 AS u,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                       WHEN 'de' THEN 0.1 WHEN 'zh' THEN 0.1 END AS f
+      FROM x)
+    WHERE u < f"""
+
+    o["pipe_redact_pii"] = r"""
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(
+        concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+               '@example.com or +1 (555) 123-4567 at 192.168.0.',
+               CAST(doc_id % 255 AS VARCHAR)),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+    FROM documents"""
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

@@ -1,0 +1,91 @@
+"""Training-pipeline composition operators: sequence packing, deterministic
+stratified sampling, PII redaction.
+
+All three are pure JVM expressions (window cumsum / hash threshold / regex
+replace) — no Python in the hot path, one shuffle at most, and each is
+independently re-derivable in ANSI SQL so the driver's DuckDB oracle can
+value-check them (see entry_ext.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    shard_col: Column | None = None,
+    n_shards: int = 256,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in shard order and
+    cut fixed-length windows of ``seq_len`` tokens. Each doc is assigned
+    its starting pack, its offset inside that pack, and the number of packs
+    it spans (a doc may straddle pack boundaries — standard pretraining
+    chunking, no padding waste).
+
+    Scale shape: ONE shuffle (window over shard), shards are independent so
+    parallelism = n_shards regardless of corpus size; cumsum is a
+    running-window aggregate, not a global sort. Pass ``shard_col`` to
+    control placement (default: hash of doc_id)."""
+    t = F.col(token_col).cast("long")
+    shard = (shard_col if shard_col is not None
+             else F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        docs.withColumn("shard", shard.cast("int"))
+        .withColumn("cum_before", F.sum(t).over(w) - t)
+        .select(
+            "doc_id", "shard", t.alias("n_tokens"),
+            F.floor(F.col("cum_before") / seq_len).alias("pack_id"),
+            (F.col("cum_before") % seq_len).alias("pack_offset"),
+            (F.floor((F.col("cum_before") + t - 1) / seq_len)
+             - F.floor(F.col("cum_before") / seq_len) + 1).alias("n_packs"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff a uniform hash of
+    (stratum, key) falls under the stratum's fraction. Same input ⇒ same
+    sample on any cluster size (no RNG state, no collect) — resumable jobs
+    re-derive identical samples. The hash is the first 4 hex chars of
+    md5(stratum||'|'||key) (16 bits ≈ 1/65536 granularity), chosen for
+    exact portability to the SQL oracle."""
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "|", F.col(strata_col), F.col(key_col).cast("string"))), 1, 4),
+        16, 10).cast("long") / F.lit(65536.0))
+    if isinstance(fractions, dict):
+        frac: Column = F.lit(None).cast("double")
+        for stratum, p in fractions.items():
+            frac = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(frac)
+    else:
+        frac = F.lit(float(fractions))
+    return df.filter(u < frac)
+
+
+# Public-pattern PII surface forms; ordered so emails are rewritten before
+# the phone pattern can eat their digit runs.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chained JVM regexp_replace over the PII surface forms — stays inside
+    whole-stage codegen; patterns restricted to the regex subset Java and
+    RE2-style engines interpret identically."""
+    t = F.col(text_col)
+    for pattern, token in PII_PATTERNS:
+        t = F.regexp_replace(t, pattern, token)
+    return docs.select("doc_id", t.alias("redacted"))

@@ -327,3 +327,55 @@ def test_dedup_clusters(spark):
     pairs = spark.createDataFrame([("a", "b"), ("b", "c")], ["doc_a", "doc_b"])
     cm = {r["doc_id"]: r["canonical"] for r in dedup_clusters(pairs).collect()}
     assert cm == {"b": "a", "c": "a"}
+
+
+def test_pack_sequences_invariants(spark):
+    from shacl_dqa_prototype_spark.operators.pipeline import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(50)],
+        "doc_id long, n_tokens long")
+    out = pack_sequences(df, seq_len=512,
+                         shard_col=F.col("doc_id") % 4).toPandas()
+    assert len(out) == 50
+    assert ((out.pack_offset >= 0) & (out.pack_offset < 512)).all()
+    assert (out.n_packs >= 1).all()
+    # contiguity per shard: each doc starts exactly where the previous
+    # ended (GPT-style concatenation with no gaps or overlaps)
+    for _, g in out.sort_values(["shard", "doc_id"]).groupby("shard"):
+        pos = (g.pack_id * 512 + g.pack_offset).to_numpy()
+        nxt = (pos + g.n_tokens.to_numpy())
+        assert pos[0] == 0
+        assert (pos[1:] == nxt[:-1]).all()
+
+
+def test_stratified_sample_deterministic(spark):
+    from shacl_dqa_prototype_spark.operators.pipeline import stratified_sample
+
+    d = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "a")
+        .when(F.col("id") % 3 == 1, "b").otherwise("zz").alias("lang"))
+    frac = {"a": 0.3, "b": 0.05}
+    s1 = stratified_sample(d, "lang", frac).toPandas()
+    s2 = stratified_sample(d, "lang", frac).toPandas()
+    assert s1.sort_values("doc_id").equals(s2.sort_values("doc_id"))
+    rates = s1.groupby("lang").size() / d.toPandas().groupby("lang").size()
+    assert abs(rates["a"] - 0.3) < 0.05 and abs(rates["b"] - 0.05) < 0.03
+    assert "zz" not in set(s1.lang)  # strata without a fraction drop out
+
+
+def test_redact_pii(spark):
+    from shacl_dqa_prototype_spark.operators.pipeline import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "mail john.doe+x@sub.example.co.uk now"),
+         (1, "call +1 (555) 123-4567 ok"),
+         (2, "server at 10.0.0.1 port 80"),
+         (3, "clean text stays clean")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["redacted"] for r in redact_pii(docs).collect()}
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "call <PHONE> ok"
+    assert got[2] == "server at <IP> port 80"
+    assert got[3] == "clean text stays clean"

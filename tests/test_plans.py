@@ -82,6 +82,7 @@ SWEEP = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_neardup",
     "sim_topk_cosine", "sim_ann_ivf",
     "text_token_count", "text_fingerprint",
+    "pipe_pack_sequences", "pipe_stratified_sample", "pipe_redact_pii",
     "kg_extract_mentions", "kg_link_entities", "kg_media_features",
     "events_sessionize", "rdf_ntriples_roundtrip",
 ]
