@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "text_fingerprint",
+    "pipe_pack_sequences",
     "sim_topk_cosine",
     "tpch_q1_pricing",
     "top_customer_per_nation",

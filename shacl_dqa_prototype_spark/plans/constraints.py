@@ -98,6 +98,10 @@ class ConstraintPlan:
     # long-lived sessions call unpersist() once scoring results are
     # materialized — per-job drivers can ignore it
     cached: list[DataFrame] = field(default_factory=list)
+    # the union's branches, for per-family plan auditing/attribution
+    # (tools/plan_audit-style timing) — evaluation always goes through
+    # `violations`, never through these
+    parts: list[DataFrame] = field(default_factory=list)
 
     def unpersist(self) -> None:
         for df in [self.violations, *self.cached]:
@@ -520,4 +524,5 @@ def compile_data_constraints(
     violations = reduce(DataFrame.unionByName, parts) if parts else (
         spark.createDataFrame([], VIOLATIONS_SCHEMA)
     )
-    return ConstraintPlan(violations=violations, shapes=shapes, cached=[subj])
+    return ConstraintPlan(violations=violations, shapes=shapes, cached=[subj],
+                          parts=parts)
