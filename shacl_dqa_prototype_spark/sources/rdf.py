@@ -122,7 +122,11 @@ _TTL_TOKEN = re.compile(
     (?P<comment>\#[^\n]*)
   | (?P<prefix_decl>@prefix)
   | (?P<iri><[^>]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^\S+)?)
+  | (?P<literal>"(?:[^"\\]|\\.)*"
+        (?:@[A-Za-z0-9\-]+
+          # datatype mirrors the iri/pname grammars — a bare \S+ would
+          # swallow a statement-terminating '.' ("5"^^xsd:int.)
+          |\^\^(?:<[^>]*>|[A-Za-z_][\w\-.]*:(?:[\w\-%.]*[\w\-%])?))?)
   | (?P<bnode>_:[A-Za-z0-9_\-]+)
   | (?P<punct>[;,.\[\]])
   | (?P<kw_a>\ba\b)

@@ -197,3 +197,93 @@ def test_xsd_java_python_regex_agreement(spark):
         if bool(r["ok"]) != bool(compiled[r["o_dtype"]].search(r["o"]))
     ]
     assert not wrong, wrong[:10]
+
+
+# ---------------------------------------------------------------------------
+# Turtle subset grammar (driver-side parser for reference fixtures)
+# ---------------------------------------------------------------------------
+
+_pname_local = st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,8}", fullmatch=True)
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            _pname_local,                               # subject local name
+            st.lists(                                   # predicate-object list
+                st.tuples(
+                    _pname_local,                       # predicate local name
+                    st.lists(st.tuples(                 # object list
+                        st.sampled_from(
+                            ["iri", "pname", "lit", "lang", "typed",
+                             "int", "dec", "bool", "bnode"]),
+                        _pname_local,
+                        _lit_text,
+                    ), min_size=1, max_size=3),
+                ),
+                min_size=1, max_size=3,
+            ),
+        ),
+        min_size=1, max_size=4,
+    ),
+    tight_dot=st.booleans(),
+)
+def test_turtle_roundtrip(data, tight_dot):
+    """Serialize generated triples through the Turtle subset the parser
+    documents (@prefix, pnames, ';' and ',' lists, typed/lang literals,
+    bare numerics) and require exact roundtrip. tight_dot glues the final
+    '.' to the last object (legal Turtle that a greedy tokenizer breaks)."""
+    from shacl_dqa_prototype_spark.sources.rdf import RDF_NS, parse_turtle
+
+    NS = "http://example.org/ns#"
+    expected, stmts = [], []
+    for s_local, po in data:
+        s = NS + s_local
+        po_strs = []
+        for p_local, objs in po:
+            p = NS + p_local
+            o_strs = []
+            for form, local, lit in objs:
+                esc = nt_escape(lit)
+                if form == "iri":
+                    o_strs.append(f"<{NS}{local}>")
+                    expected.append((s, p, NS + local, "iri", None, None))
+                elif form == "pname":
+                    o_strs.append(f"ex:{local}")
+                    expected.append((s, p, NS + local, "iri", None, None))
+                elif form == "bnode":
+                    o_strs.append(f"_:{local}")
+                    expected.append((s, p, f"_:{local}", "bnode", None, None))
+                elif form == "lit":
+                    o_strs.append(f'"{esc}"')
+                    expected.append((s, p, lit, "literal", None, None))
+                elif form == "lang":
+                    o_strs.append(f'"{esc}"@en-GB')
+                    expected.append(
+                        (s, p, lit, "literal", f"{RDF_NS}langString", "en-GB"))
+                elif form == "typed":
+                    o_strs.append(f'"{esc}"^^xsd:anyURI')
+                    expected.append(
+                        (s, p, lit, "literal", f"{_XSD_NS}anyURI", None))
+                elif form == "int":
+                    o_strs.append("42")
+                    expected.append(
+                        (s, p, "42", "literal", f"{_XSD_NS}integer", None))
+                elif form == "dec":
+                    o_strs.append("3.5")
+                    expected.append(
+                        (s, p, "3.5", "literal", f"{_XSD_NS}decimal", None))
+                elif form == "bool":
+                    o_strs.append("true")
+                    expected.append(
+                        (s, p, "true", "literal", f"{_XSD_NS}boolean", None))
+            po_strs.append(f"ex:{p_local} " + " , ".join(o_strs))
+        dot = "." if tight_dot else " ."
+        stmts.append(f"ex:{s_local} " + " ;\n    ".join(po_strs) + dot)
+
+    ttl = (f"@prefix ex: <{NS}> .\n"
+           f"@prefix xsd: <{_XSD_NS}> .\n"
+           "# a comment\n" + "\n".join(stmts) + "\n")
+    assert parse_turtle(ttl) == expected
