@@ -27,6 +27,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
 
 from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
 
@@ -66,9 +67,19 @@ def _unescape(lit: str) -> str:
     return _ESCAPE_RE.sub(sub, lit)
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(
+    spark: SparkSession, path: str, corrupt_col: str | None = None
+) -> DataFrame:
     """spark.read.text → vectorized per-batch regex shredding. Each line is
-    independent, so this parallelizes to any file size."""
+    independent, so this parallelizes to any file size.
+
+    With ``corrupt_col`` set (PERMISSIVE-mode pattern), malformed lines are
+    KEPT as rows whose triple columns are NULL and whose ``corrupt_col``
+    holds the raw line — at corpus scale silent drops hide data bugs;
+    ``df.filter(col(corrupt_col).isNotNull()).count()`` audits them.
+    Blank lines and ``#`` comments are legal N-Triples and never counted
+    corrupt. Default (None) drops non-triple lines, matching a plain
+    triple-scan contract."""
     lines = spark.read.text(path)
 
     def unesc(col: pd.Series) -> pd.Series:
@@ -99,7 +110,7 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
             # escape CorrectRange/MalformedLiteral, diverging from the
             # reference (pySHACL types it rdf:langString).
             o_dtype = sub["dt"].where(sub["lang"].isna(), f"{RDF_NS}langString")
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "s": unesc(sub["s_iri"]).fillna(sub["s_bn"]),
                     "p": unesc(sub["p"]),
@@ -109,8 +120,29 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
                     "o_lang": sub["lang"],
                 }
             )
+            if corrupt_col is None:
+                yield out
+                continue
+            out[corrupt_col] = pd.Series(None, index=sub.index, dtype=object)
+            raw = pdf["value"]
+            bad = raw[~mask & ~raw.str.match(r"^\s*(#|$)")]
+            if len(bad):
+                corrupt = pd.DataFrame(
+                    {c: pd.Series(None, index=bad.index, dtype=object)
+                     for c in out.columns})
+                corrupt[corrupt_col] = bad
+                out = pd.concat([out, corrupt]).sort_index()
+            yield out
 
-    return lines.mapInPandas(parse, schema=TRIPLES_SCHEMA)
+    schema = TRIPLES_SCHEMA
+    if corrupt_col is not None:
+        # fresh StructType — never mutate the shared schema constant
+        # (StructType.add is in-place); corrupt rows have NULL triple
+        # columns, so every field must be nullable here
+        schema = StructType(
+            [StructField(f.name, f.dataType, True) for f in schema.fields]
+            + [StructField(corrupt_col, StringType(), True)])
+    return lines.mapInPandas(parse, schema=schema)
 
 
 # ---------------------------------------------------------------------------

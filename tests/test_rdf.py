@@ -127,3 +127,32 @@ def test_contextual_uri_shapes(spark):
     metrics = {s.metric for s in plan2.shapes}
     assert "URIRegexComplianceEntities" not in metrics
     assert "URISpaceComplianceEntities" not in metrics
+
+
+def test_ntriples_corrupt_record_mode(spark, tmp_path):
+    from shacl_dqa_prototype_spark.sources.rdf import read_ntriples
+
+    nt = "\n".join([
+        "<http://e/s> <http://e/p> <http://e/o> .",
+        "# a comment — legal, never corrupt",
+        "",
+        "garbage line",
+        '<http://e/s> <http://e/p> "unterminated .',
+        '<http://e/s2> <http://e/p> "ok" .',
+    ])
+    path = str(tmp_path / "mixed.nt")
+    with open(path, "w") as f:
+        f.write(nt)
+
+    # default: malformed lines silently dropped
+    assert read_ntriples(spark, path).count() == 2
+    # PERMISSIVE-style: malformed lines kept with the raw line preserved
+    df = read_ntriples(spark, path, corrupt_col="_corrupt")
+    from pyspark.sql import functions as F
+
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert bad.count() == 2
+    assert {r["_corrupt"] for r in bad.collect()} == {
+        "garbage line", '<http://e/s> <http://e/p> "unterminated .'}
+    good = df.filter(F.col("_corrupt").isNull())
+    assert good.count() == 2 and good.filter(F.col("s").isNull()).count() == 0
