@@ -98,3 +98,39 @@ def streaming_doc_counts(
         .groupBy(F.window("ingest_ts", window))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def start_streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str] | None = None,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: drop re-deliveries of the same document across
+    microbatches. dropDuplicatesWithinWatermark keys the state store on the
+    digest and EXPIRES entries past the event-time watermark — bounded
+    state, unlike a plain dropDuplicates whose store grows with the corpus
+    (the 100 TB failure mode). Keys default to a digest of the full span
+    sequence — the same content identity the batch exact-dedup rule uses
+    on flat text (operators/dedup.py). Documents carry no event time, so
+    arrival time stands in (re-deliveries cluster in time)."""
+    keyed = stream_documents(spark, input_dir).withColumns({
+        "event_time": F.current_timestamp(),
+        "content_digest": F.md5(F.to_json(F.col("spans"))),
+    })
+    deduped = (
+        keyed.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(key_cols or ["content_digest"])
+    )
+    writer = (
+        deduped.drop("event_time").writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

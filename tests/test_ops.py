@@ -379,3 +379,30 @@ def test_redact_pii(spark):
     assert got[1] == "call <PHONE> ok"
     assert got[2] == "server at <IP> port 80"
     assert got[3] == "clean text stays clean"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from shacl_dqa_prototype_spark.datagen import GenConfig, generate_documents
+    from shacl_dqa_prototype_spark.streaming.ingest import start_streaming_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    docs = generate_documents(spark, GenConfig(n_docs=30, n_entities=10))
+    docs.write.mode("overwrite").parquet(in_dir)
+
+    q = start_streaming_dedup(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 30
+
+    # re-deliver the SAME 30 docs (new files, same content) plus 5 new ones:
+    # within the watermark only the 5 genuinely-new docs may come through
+    docs.write.mode("append").parquet(in_dir)
+    generate_documents(spark, GenConfig(n_docs=5, n_entities=10, seed=123)
+                       ).write.mode("append").parquet(in_dir)
+    q2 = start_streaming_dedup(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 35
+    assert out.select("content_digest").distinct().count() == 35
