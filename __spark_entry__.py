@@ -117,6 +117,18 @@ ENTRY_VOCAB = [
 ]
 ENTRY_DISJOINT = [("urn:c:Customer", "urn:c:Supplier")]
 ENTRY_CFG = DQAConfig(type_property="rdf:type", labeling_property=RDFS_LABEL)
+# Profile property IRIs, single-sourced so they cannot drift from
+# ENTRY_CFG: type/label are the DQA config's; description/interlinking
+# deliberately point at the synthetic corpus's own properties (profile
+# stats count what the data actually uses), while ENTRY_CFG keeps the
+# reference defaults (dct:description / owl:sameAs) so the constraint
+# semantics — and their oracles — match the reference's shapes.
+ENTRY_PROFILE_PROPS = dict(
+    type_property=ENTRY_CFG.type_property,
+    labeling_property=ENTRY_CFG.labeling_property,
+    description_property="urn:p:description",
+    interlinking_property="urn:p:follows",
+)
 
 
 def _register(spark: SparkSession, sf_dir: str) -> None:
@@ -172,8 +184,11 @@ def _profile(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     if key not in _PROFILE_CACHE:
         _PROFILE_CACHE[key] = profile_graph(
-            _triples(spark, sf_dir), "rdf:type", RDFS_LABEL,
-            "urn:p:description", "urn:p:follows")
+            _triples(spark, sf_dir),
+            ENTRY_PROFILE_PROPS["type_property"],
+            ENTRY_PROFILE_PROPS["labeling_property"],
+            ENTRY_PROFILE_PROPS["description_property"],
+            ENTRY_PROFILE_PROPS["interlinking_property"])
     return _PROFILE_CACHE[key]
 
 

@@ -180,6 +180,24 @@ def _violations2(spark: SparkSession, sf_dir: str, metric: str,
     return v.select(*cols).distinct()
 
 
+_STREAM_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stream_dir_for(sf_dir: str, name: str) -> str:
+    """Spark's file-stream source requires a DIRECTORY, but the testdata
+    tables are single parquet files. Symlink the file into a per-process
+    temp dir (O(1), no data copy — the old approach rewrote the whole
+    table per invocation) and reuse it across calls."""
+    key = (sf_dir, name)
+    if key not in _STREAM_DIR_CACHE:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="streamdir_")
+        os.symlink(os.path.join(sf_dir, name), os.path.join(d, name))
+        _STREAM_DIR_CACHE[key] = d
+    return _STREAM_DIR_CACHE[key]
+
+
 def _docs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -326,9 +344,11 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- B8/B9 profiling ---------------------------------------------------
     def entity_features(spark, sf_dir):
         import __spark_entry__ as core
-        prof = profile_graph(core._triples(spark, sf_dir), "rdf:type",
-                             RDFS_LABEL_IRI, "urn:p:description",
-                             "urn:p:follows")
+        pp = core.ENTRY_PROFILE_PROPS
+        prof = profile_graph(core._triples(spark, sf_dir),
+                             pp["type_property"], pp["labeling_property"],
+                             pp["description_property"],
+                             pp["interlinking_property"])
         return spark.createDataFrame(
             [(prof.num_entities_interlinking, prof.num_entities_label,
               prof.num_entities_description)],
@@ -474,10 +494,16 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             start_incremental_extraction,
         )
 
+        # the interleaved input is derived, so it must be materialized once —
+        # but only once per process, not per invocation
+        in_key = ("stream_in", sf_dir)
+        if in_key not in _STREAM_DIR_CACHE:
+            d = tempfile.mkdtemp(prefix="streamin_")
+            _interleaved(spark, sf_dir).write.mode("overwrite").parquet(d)
+            _STREAM_DIR_CACHE[in_key] = d
         base = tempfile.mkdtemp(prefix="stream_")
-        _interleaved(spark, sf_dir).write.mode("overwrite").parquet(base + "/in")
         qy = start_incremental_extraction(
-            spark, base + "/in", base + "/out", base + "/ckpt",
+            spark, _STREAM_DIR_CACHE[in_key], base + "/out", base + "/ckpt",
             available_now=True)
         qy.awaitTermination()
         return spark.read.parquet(base + "/out").select(
@@ -565,18 +591,15 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # readStream → session_window agg → memory sink (availableNow makes it
     # deterministic) — shares the batch oracle.
     def session_window_streaming(spark, sf_dir):
-        import tempfile
         import uuid as _uuid
 
         from shacl_dqa_prototype_spark.streaming.stateful import (
             run_streaming_sessionize,
         )
 
-        base = tempfile.mkdtemp(prefix="sessw_")
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).write.mode(
-            "overwrite").parquet(base + "/in")
         res = run_streaming_sessionize(
-            spark, base + "/in", query_name=f"sess_{_uuid.uuid4().hex[:8]}")
+            spark, _stream_dir_for(sf_dir, "events.parquet"),
+            query_name=f"sess_{_uuid.uuid4().hex[:8]}")
         return res.select(
             "user_id",
             F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -1078,14 +1101,16 @@ def ext_oracles() -> dict[str, str]:
     # session_window semantics: a session breaks when the gap since the
     # previous event is >= the gap duration (the window closes at
     # prev_ts + gap, and an event AT the close starts a new window);
-    # session_start = first event's ts.
+    # session_start = first event's ts. The gap compares RAW microsecond
+    # timestamps — truncating to seconds first makes a 1799.3s gap look
+    # like exactly 1800s and splits a session Spark merges.
     o["events_session_window"] = """
     WITH x AS (
       SELECT user_id, ts, value,
-             CASE WHEN epoch(date_trunc('second', ts))
-                       - epoch(date_trunc('second', lag(ts) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_id))) >= 1800
-                  THEN 1 ELSE 0 END AS new_s
+             CASE WHEN epoch_us(ts)
+                       - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                    >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
       FROM events),
     y AS (
       SELECT user_id, ts, value,

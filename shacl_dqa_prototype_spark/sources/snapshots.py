@@ -93,18 +93,28 @@ class SnapshotTable:
     def _commit(self, df: DataFrame, operation: str,
                 bucket_col: str | None, n_buckets: int,
                 extra: dict | None = None) -> str:
-        dirname = self._write_data(df, bucket_col, n_buckets)
         parent = self.current()
+        dirname = self._write_data(df, bucket_col, n_buckets)
         dirs = [dirname] if operation == "overwrite" else (
             (parent["dirs"] if parent else []) + [dirname]
         )
         snapshot_id = uuid.uuid4().hex[:16]
+        # dir → bucket_col for every dir this snapshot references: read()
+        # resolves each dir with the layout it was WRITTEN with (Iceberg's
+        # partition-spec-per-file analog), so append chains may change
+        # layout. Carried in full on every record so expire_snapshots can
+        # drop old records without losing still-referenced dirs' layouts.
+        parent_layouts = (parent or {}).get("dir_layouts") or {}
+        dir_layouts = ({k: v for k, v in parent_layouts.items() if k in dirs}
+                       if operation != "overwrite" else {})
+        dir_layouts[dirname] = bucket_col
         self._append_log({
             "snapshot_id": snapshot_id,
             "parent_id": parent["snapshot_id"] if parent else None,
             "ts": time.time(),
             "operation": operation,
             "dirs": dirs,
+            "dir_layouts": dir_layouts,
             "bucket_col": bucket_col,
             "n_buckets": n_buckets if bucket_col else None,
             **(extra or {}),
@@ -137,14 +147,30 @@ class SnapshotTable:
                 raise KeyError(f"unknown snapshot {snapshot_id!r}")
         if snap is None or not snap["dirs"]:
             return self.spark.createDataFrame([], self.schema)
-        paths = [os.path.join(self.data_dir, d) for d in snap["dirs"]]
-        schema = self.schema
-        if snap.get("bucket_col"):
-            from pyspark.sql.types import IntegerType, StructField
-            schema = StructType(
-                schema.fields + [StructField("_bucket", IntegerType(), True)])
-        df = self.spark.read.schema(schema).parquet(*paths)
-        return df.drop("_bucket") if snap.get("bucket_col") else df
+        # each dir is read with the layout its OWN commit recorded — a
+        # single multi-root read would force one partition layout onto all
+        # dirs (Spark partition discovery rejects mixed roots outright).
+        # One relation per commit dir, unioned; compact with
+        # commit_overwrite/expire_snapshots when the commit count grows.
+        layout_of = snap.get("dir_layouts") or {}
+        from pyspark.sql.types import IntegerType, StructField
+        bucketed_schema = StructType(
+            self.schema.fields + [StructField("_bucket", IntegerType(), True)])
+        parts = []
+        for d in snap["dirs"]:
+            path = os.path.join(self.data_dir, d)
+            # legacy logs (no per-commit "dir") fall back to the resolved
+            # snapshot's layout
+            bucketed = layout_of.get(d, snap.get("bucket_col"))
+            if bucketed:
+                parts.append(self.spark.read.schema(bucketed_schema)
+                             .parquet(path).drop("_bucket"))
+            else:
+                parts.append(self.spark.read.schema(self.schema).parquet(path))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     # ---- maintenance ----------------------------------------------------
 

@@ -14,6 +14,8 @@ periodically folds them in. This mirrors production lambda designs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -69,11 +71,18 @@ def start_incremental_extraction_snapshots(
     the log makes the commit idempotent (replayed epochs are skipped)."""
     docs = stream_documents(spark, input_dir)
     mentions = extract_fact_mentions(docs)
+    # idempotence must key on (checkpoint lineage, epoch), not the epoch
+    # alone: a NEW checkpoint restarts epoch numbering at 0, and keying on
+    # the bare number would silently skip a fresh query's first batches
+    # because some old run also had an epoch 0. The checkpoint dir is the
+    # run identity — the same pairing Spark's own exactly-once sinks use.
+    run_id = os.path.abspath(checkpoint_dir)
 
     def _commit_batch(batch_df, epoch_id: int) -> None:
-        if any(s.get("epoch") == epoch_id for s in table.snapshots()):
+        if any(s.get("epoch") == epoch_id and s.get("run") == run_id
+               for s in table.snapshots()):
             return  # replayed epoch after restart — already committed
-        table.commit_append(batch_df, extra={"epoch": epoch_id})
+        table.commit_append(batch_df, extra={"epoch": epoch_id, "run": run_id})
 
     writer = (
         mentions.writeStream.outputMode("append")

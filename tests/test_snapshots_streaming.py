@@ -138,3 +138,52 @@ def test_apply_in_pandas_with_state_totals(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     e = sorted(map(tuple, exp.collect()))
     assert g == e and len(g) > 0
+
+
+def test_snapshot_mixed_bucket_layouts_read_correctly(spark, tmp_path):
+    """Each commit dir is read with the layout it was WRITTEN with
+    (partition-spec evolution): an append chain mixing unbucketed and
+    bucketed commits — and layout survival across expire_snapshots —
+    must read back exactly."""
+    ev = _events_subset(spark, 10).select(
+        "event_id", "user_id", "event_type", "value")
+    n = ev.count()
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), ev.schema)
+    t.commit_append(ev)                                     # unbucketed
+    t.commit_append(ev, bucket_col="user_id", n_buckets=4)  # bucketed
+    t.commit_append(ev, bucket_col="user_id", n_buckets=8)  # rebucketed
+    assert t.read().count() == 3 * n
+    assert t.read().columns == ev.columns                   # no _bucket leak
+    # expire old log records: kept snapshot still knows every dir's layout
+    t.expire_snapshots(keep_last=1)
+    assert t.read().count() == 3 * n
+
+
+def test_streaming_snapshot_epoch_keyed_per_run(spark, tmp_path):
+    """A NEW checkpoint restarts epoch numbering at 0 — its batches must
+    commit even though an older run also had epoch 0."""
+    from shacl_dqa_prototype_spark.datagen import GenConfig, generate_documents
+    from shacl_dqa_prototype_spark.operators.extract import extract_fact_mentions
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_incremental_extraction_snapshots,
+    )
+
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    generate_documents(spark, GenConfig(n_docs=20, n_entities=8)).write.mode(
+        "overwrite").parquet(in1)
+    generate_documents(spark, GenConfig(n_docs=10, n_entities=8, seed=5)
+                       ).write.mode("overwrite").parquet(in2)
+    schema = extract_fact_mentions(spark.read.parquet(in1)).schema
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    exp1 = extract_fact_mentions(spark.read.parquet(in1)).count()
+    exp2 = extract_fact_mentions(spark.read.parquet(in2)).count()
+    q1 = start_incremental_extraction_snapshots(
+        spark, in1, t, str(tmp_path / "ck1"))
+    q1.awaitTermination(120)
+    assert t.read().count() == exp1
+    # second pipeline: fresh checkpoint, fresh input — Spark numbers its
+    # first epoch 0 again; the run-scoped key must NOT skip it
+    q2 = start_incremental_extraction_snapshots(
+        spark, in2, t, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert t.read().count() == exp1 + exp2
