@@ -291,6 +291,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.ngram_jaccard_pairs(_docs(s, d), n=5, threshold=0.5)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")))
 
+    def pipe_decontaminate(spark, sf_dir):
+        # eval set = deterministic held-out slice (doc_id % 17 == 0);
+        # corpus = everything else. 8-gram overlap pairs.
+        docs = _docs(spark, sf_dir)
+        return dedup.ngram_contamination(
+            docs.filter(F.col("doc_id") % 17 != 0),
+            docs.filter(F.col("doc_id") % 17 == 0), n=8)
+    q["pipe_decontaminate"] = pipe_decontaminate
+
     q["text_token_count"] = lambda s, d: textstats.token_count(_docs(s, d))
 
     q["text_quality"] = lambda s, d: textstats.quality_score(_docs(s, d))
@@ -531,6 +540,19 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.5"""
+
+    o["pipe_decontaminate"] = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)
+      WHERE length(array_to_string(t[i:i+7], ' ')) > 0)
+    SELECT c.doc_id AS doc_id, e.doc_id AS eval_id, count(*) AS shared_ngrams
+    FROM sh c JOIN sh e ON c.shingle = e.shingle
+    WHERE c.doc_id % 17 <> 0 AND e.doc_id % 17 = 0
+    GROUP BY 1, 2"""
 
     o["text_token_count"] = r"""
     SELECT doc_id,

@@ -195,6 +195,35 @@ def dedup_clusters(
         {"node": "doc_id", "component": "canonical"})
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs that share word n-grams with
+    a held-out evaluation set (the GPT-3/PaLM-style 13-gram overlap check,
+    here parameterized). Returns (doc_id, eval_id, shared_ngrams) — one row
+    per contaminated (corpus doc, eval doc) pair with the count of DISTINCT
+    shared n-grams; downstream drops or flags doc_id.
+
+    Scale design: the eval set is tiny relative to a 100 TB corpus
+    (benchmarks are MBs), so its shingle table is broadcast — corpus
+    shingles stream map-side through a broadcast hash join with no shuffle;
+    the only shuffle is the (doc_id, eval_id) count aggregate, whose
+    cardinality is bounded by the number of contaminated pairs, not corpus
+    size. Shingling itself is explode/transform (JVM, no UDF)."""
+    c = _shingles(corpus, id_col, text_col, n)
+    e = _shingles(eval_docs, id_col, text_col, n).withColumnsRenamed(
+        {"doc_id": "eval_id"})
+    return (
+        c.join(F.broadcast(e), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+    )
+
+
 def exact_duplicate_clusters(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text") -> DataFrame:
     """Exact-dup clustering end-to-end: hash-group pair edges → CC →

@@ -36,6 +36,20 @@ def test_ngram_jaccard(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_contamination(spark, docs):
+    # eval doc 100 = doc 1's first 8 words verbatim (a leaked benchmark
+    # prompt); eval doc 101 shares nothing with the corpus.
+    evals = spark.createDataFrame(
+        [(100, "The quick brown fox jumps over the lazy"),
+         (101, "totally disjoint benchmark question with unseen words here")],
+        ["doc_id", "text"])
+    hits = {(r["doc_id"], r["eval_id"]): r["shared_ngrams"]
+            for r in dedup.ngram_contamination(docs, evals, n=8).collect()}
+    # docs 1/2 (identical) and 3 (same first 8 words) each share exactly
+    # the one 8-gram with eval 100; doc 4/5 and eval 101 match nothing.
+    assert hits == {(1, 100): 1, (2, 100): 1, (3, 100): 1}
+
+
 def test_minhash_lsh_candidates(docs):
     cands = {(r["doc_a"], r["doc_b"])
              for r in dedup.minhash_lsh_candidates(docs, n=3).collect()}
