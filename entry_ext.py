@@ -1022,7 +1022,7 @@ def ext_oracles() -> dict[str, str]:
                '@example.com or +1 (555) 123-4567 at 192.168.0.',
                CAST(doc_id % 255 AS VARCHAR)),
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+        '\+[0-9][0-9()\-. ]{5,18}[0-9]|\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
     FROM documents"""
 
@@ -1106,7 +1106,7 @@ def ext_oracles() -> dict[str, str]:
     # like exactly 1800s and splits a session Spark merges.
     o["events_session_window"] = """
     WITH x AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN epoch_us(ts)
                        - epoch_us(lag(ts) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id))
@@ -1114,7 +1114,10 @@ def ext_oracles() -> dict[str, str]:
       FROM events),
     y AS (
       SELECT user_id, ts, value,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             -- cumsum must share the lag's (ts, event_id) tiebreak: with
+             -- ts alone, equal-timestamp rows make the running sum
+             -- order-ambiguous and the oracle flaky on ties
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM x)
     SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -74,9 +74,18 @@ def stratified_sample(
 
 # Public-pattern PII surface forms; ordered so emails are rewritten before
 # the phone pattern can eat their digit runs.
+#
+# Phone = international form with an explicit '+' prefix, OR separator-
+# structured 3-3-4 groups (NANP style). Both shapes carry ≥7 digits by
+# construction, so ISO dates (4-2-2), numeric ranges (10-20), versions,
+# and bare ID runs in training text are NOT rewritten — precision over
+# recall for corpus-corruption reasons (an undecorated 10-digit run is
+# left alone). Patterns stay in the Java/RE2-common subset (no lookaround)
+# and were verified char-identical between java.util.regex and DuckDB RE2.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+    (r"\+[0-9][0-9()\-. ]{5,18}[0-9]"
+     r"|\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
     (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 ]
 

@@ -379,7 +379,10 @@ def compile_data_constraints(
             add("DeprecatedProperties", prop, "entities")  # const.py:76-86
 
     # ---- C23 InverseFunctionalPropertyUniqueness (462-471) ----------------
-    ifp = sorted({t.term for t in props if t.inverse_functional} & used_props)
+    # deprecated terms are excluded from IFP/functional checks — reference
+    # parity: utils.py:313-318 skips deprecated when harvesting both sets
+    ifp = sorted({t.term for t in props
+                  if t.inverse_functional and not t.deprecated} & used_props)
     if ifp:
         shared = (
             T.filter(p.isin(ifp))
@@ -391,7 +394,8 @@ def compile_data_constraints(
             add("InverseFunctionalPropertyUniqueness", prop, "binary")
 
     # ---- C24 FunctionalProperty (473-482): maxCount 1 per subject ---------
-    fp = sorted({t.term for t in props if t.functional} & used_props)
+    fp = sorted({t.term for t in props
+                 if t.functional and not t.deprecated} & used_props)
     if fp:
         multi = (
             T.filter(p.isin(fp))

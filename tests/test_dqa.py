@@ -229,6 +229,36 @@ def test_scores(spark, plan_and_profile):
     assert meta["measure"] == pytest.approx(0.5)  # 1 of 2 properties clean
 
 
+def test_deprecated_functional_excluded(spark):
+    """Reference parity (utils.py:313-318): deprecated terms are skipped
+    when harvesting functional / inverse-functional property sets, so a
+    deprecated functional property never raises FunctionalProperty or IFP
+    violations (it still raises DeprecatedProperties)."""
+    DFP, DIFP = f"{EX}oldSpouse", f"{EX}oldSsn"
+    vocab = [
+        VocabTerm(CLASS_A, "class"),
+        VocabTerm(DFP, "object_property", functional=True, deprecated=True),
+        VocabTerm(DIFP, "datatype_property", range=XSD_STR,
+                  range_kind="literal", inverse_functional=True,
+                  deprecated=True),
+    ]
+    rows = [
+        t(E1, RDF_TYPE, CLASS_A),
+        t(E1, DFP, B1), t(E1, DFP, B2),              # would violate FP
+        t(E1, DIFP, "123", "literal", XSD_STR),      # would violate IFP
+        t(E2, RDF_TYPE, CLASS_A),
+        t(E2, DIFP, "123", "literal", XSD_STR),
+    ]
+    T = spark.createDataFrame(rows, TRIPLES_SCHEMA)
+    plan = compile_data_constraints(T, vocab, [], CFG)
+    assert focus_set(plan, "FunctionalProperty") == set()
+    assert focus_set(plan, "InverseFunctionalPropertyUniqueness") == set()
+    assert focus_set(plan, "DeprecatedProperties", DFP) == {E1}
+    # and the shapes are not even instantiated for the deprecated terms
+    assert not [sp for sp in plan.shapes if sp.metric in
+                ("FunctionalProperty", "InverseFunctionalPropertyUniqueness")]
+
+
 def test_vocab_scoring_empty_denominator(spark):
     """Zero-violation ratio shapes score 1.0 even when the denominator
     family is empty (e.g. LabelForProperties for a class-only vocabulary) —

@@ -386,13 +386,20 @@ def test_redact_pii(spark):
         [(0, "mail john.doe+x@sub.example.co.uk now"),
          (1, "call +1 (555) 123-4567 ok"),
          (2, "server at 10.0.0.1 port 80"),
-         (3, "clean text stays clean")],
+         (3, "clean text stays clean"),
+         (4, "dial 555.123.4567 or (555) 123-4567"),
+         (5, "+44 20 7946 0958 works"),
+         # precision: dates / ranges / versions / bare IDs are NOT phones
+         (6, "released 2024-01-15, pages 10-20, v10.15.7, id 123456789")],
         "doc_id long, text string")
     got = {r["doc_id"]: r["redacted"] for r in redact_pii(docs).collect()}
     assert got[0] == "mail <EMAIL> now"
     assert got[1] == "call <PHONE> ok"
     assert got[2] == "server at <IP> port 80"
     assert got[3] == "clean text stays clean"
+    assert got[4] == "dial <PHONE> or <PHONE>"
+    assert got[5] == "<PHONE> works"
+    assert got[6] == "released 2024-01-15, pages 10-20, v10.15.7, id 123456789"
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):
