@@ -23,13 +23,30 @@ catalog's atomic swap (which is also the only piece Iceberg itself
 delegates to the catalog).
 
 Reads resolve a snapshot (latest by default, any historical id for time
-travel) to its directory list and load them with an EXPLICIT schema, so
-an empty table (zero data dirs) still reads back as a typed empty
-DataFrame.
+travel) to a CONCRETE path list — unbucketed dirs as roots, bucketed dirs
+expanded to their `_bucket=k` leaf directories — and load everything as
+ONE multi-path relation with an EXPLICIT schema, so the physical plan has
+a single parquet scan regardless of how many commits the snapshot chains
+(an empty table still reads back as a typed empty DataFrame). Leaf-dir
+expansion is also what makes bucket pruning a pure path-list filter:
+read_buckets(bs) lists only the wanted `_bucket=k` dirs.
+
+Bucket-level overwrites (commit_merge_buckets) record, per referenced
+dir, WHICH buckets it still serves — Iceberg's dynamic partition
+overwrite: an append that touches 2 of 32 buckets rewrites only those
+two leaf dirs and carries the other 30 by reference.
 
 Scale note: the log grows one line per commit and is read driver-side —
-O(#commits), never O(data). Data files are only ever appended or dropped
-whole-directory (expire), so no commit rewrites existing data.
+O(#commits), never O(data). Data files are only ever appended, superseded
+bucket-by-bucket, or dropped whole-directory (expire) — no commit ever
+rewrites existing data files. compact() folds a long dir chain back into
+one dir when the driver-side path list grows past a threshold.
+
+Concurrency contract: SINGLE WRITER per table (matching the incremental
+pipeline's one-driver design). Readers are always safe; expire_snapshots
+additionally keeps young orphan dirs (see its docstring) so a vacuum
+racing a crashed-or-in-flight commit step 1 cannot delete data the next
+log append will reference.
 """
 
 from __future__ import annotations
@@ -108,6 +125,11 @@ class SnapshotTable:
         dir_layouts = ({k: v for k, v in parent_layouts.items() if k in dirs}
                        if operation != "overwrite" else {})
         dir_layouts[dirname] = bucket_col
+        # appends after a merge_buckets commit must carry the parent's
+        # bucket restrictions — otherwise superseded buckets resurface
+        parent_buckets = (parent or {}).get("dir_buckets") or {}
+        dir_buckets = ({k: v for k, v in parent_buckets.items() if k in dirs}
+                       if operation != "overwrite" else {})
         self._append_log({
             "snapshot_id": snapshot_id,
             "parent_id": parent["snapshot_id"] if parent else None,
@@ -115,6 +137,7 @@ class SnapshotTable:
             "operation": operation,
             "dirs": dirs,
             "dir_layouts": dir_layouts,
+            **({"dir_buckets": dir_buckets} if dir_buckets else {}),
             "bucket_col": bucket_col,
             "n_buckets": n_buckets if bucket_col else None,
             **(extra or {}),
@@ -134,58 +157,180 @@ class SnapshotTable:
         until expire_snapshots drops them."""
         return self._commit(df, "overwrite", bucket_col, n_buckets, extra)
 
+    def commit_merge_buckets(
+        self, df: DataFrame, changed_buckets, bucket_col: str,
+        n_buckets: int = 32, extra: dict | None = None,
+    ) -> str:
+        """Overwrite ONLY the given buckets (Iceberg's dynamic partition
+        overwrite): ``df`` must hold the complete new content of
+        ``changed_buckets``; every other bucket is carried over from the
+        parent snapshot BY REFERENCE — zero data rewritten for untouched
+        buckets, so an append-merge writes O(|changed buckets|) not
+        O(|table|). Requires the parent chain to share this bucket layout
+        (first commit on an empty table is fine)."""
+        parent = self.current()
+        changed = sorted({int(b) for b in changed_buckets})
+        changed_set = set(changed)
+        if parent:
+            layouts = parent.get("dir_layouts") or {}
+            for d in parent["dirs"]:
+                if layouts.get(d, parent.get("bucket_col")) != bucket_col:
+                    raise ValueError(
+                        f"commit_merge_buckets needs every parent dir "
+                        f"bucketed by {bucket_col!r}; dir {d} is not")
+            if parent["dirs"] and parent.get("n_buckets") not in (None, n_buckets):
+                raise ValueError(
+                    f"bucket count mismatch: parent {parent.get('n_buckets')}"
+                    f" vs {n_buckets}")
+        dirname = self._write_data(df, bucket_col, n_buckets)
+        dirs: list[str] = []
+        dir_layouts: dict[str, str | None] = {}
+        dir_buckets: dict[str, list[int]] = {}
+        if parent:
+            parent_buckets = parent.get("dir_buckets") or {}
+            for d in parent["dirs"]:
+                allowed = parent_buckets.get(d)
+                remaining = sorted(
+                    (set(allowed) if allowed is not None
+                     else set(range(n_buckets))) - changed_set)
+                if not remaining:
+                    continue  # dir fully superseded by this merge
+                dirs.append(d)
+                dir_layouts[d] = bucket_col
+                dir_buckets[d] = remaining
+        dirs.append(dirname)
+        dir_layouts[dirname] = bucket_col
+        dir_buckets[dirname] = changed
+        snapshot_id = uuid.uuid4().hex[:16]
+        self._append_log({
+            "snapshot_id": snapshot_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "ts": time.time(),
+            "operation": "merge_buckets",
+            "dirs": dirs,
+            "dir_layouts": dir_layouts,
+            "dir_buckets": dir_buckets,
+            "bucket_col": bucket_col,
+            "n_buckets": n_buckets,
+            **(extra or {}),
+        })
+        return snapshot_id
+
     # ---- reads ----------------------------------------------------------
 
-    def read(self, snapshot_id: str | None = None) -> DataFrame:
-        """Latest snapshot by default; pass snapshot_id for time travel."""
+    def _resolve_snapshot(self, snapshot_id: str | None) -> dict | None:
         snaps = self.snapshots()
         if snapshot_id is None:
-            snap = snaps[-1] if snaps else None
-        else:
-            snap = next((s for s in snaps if s["snapshot_id"] == snapshot_id), None)
-            if snap is None:
-                raise KeyError(f"unknown snapshot {snapshot_id!r}")
+            return snaps[-1] if snaps else None
+        snap = next((s for s in snaps if s["snapshot_id"] == snapshot_id), None)
+        if snap is None:
+            raise KeyError(f"unknown snapshot {snapshot_id!r}")
+        return snap
+
+    def _resolve_paths(self, snap: dict,
+                       buckets: set[int] | None = None) -> list[str]:
+        """Concrete read paths for a snapshot: unbucketed dirs as roots,
+        bucketed dirs as their `_bucket=k` leaf dirs (restricted to the
+        dir's recorded bucket set, further intersected with ``buckets``)."""
+        layout_of = snap.get("dir_layouts") or {}
+        dir_buckets = snap.get("dir_buckets") or {}
+        paths: list[str] = []
+        for d in snap["dirs"]:
+            root = os.path.join(self.data_dir, d)
+            # legacy logs (no per-dir layout) fall back to the snapshot's
+            bucketed = layout_of.get(d, snap.get("bucket_col"))
+            if not bucketed:
+                paths.append(root)
+                continue
+            allowed = dir_buckets.get(d)
+            allowed = None if allowed is None else set(allowed)
+            for leaf in sorted(os.listdir(root)):
+                if not leaf.startswith("_bucket="):
+                    continue
+                b = int(leaf.split("=", 1)[1])
+                if allowed is not None and b not in allowed:
+                    continue
+                if buckets is not None and b not in buckets:
+                    continue
+                paths.append(os.path.join(root, leaf))
+        return paths
+
+    def read(self, snapshot_id: str | None = None) -> DataFrame:
+        """Latest snapshot by default; pass snapshot_id for time travel.
+
+        ONE multi-path parquet relation whatever the commit-chain length —
+        the plan stays O(1) relations after 1000 appends (path resolution
+        is driver-side file listing, O(#dirs · #buckets)). Reading the
+        `_bucket=k` leaf dirs directly sidesteps Spark's mixed-root
+        partition-discovery restriction entirely."""
+        snap = self._resolve_snapshot(snapshot_id)
         if snap is None or not snap["dirs"]:
             return self.spark.createDataFrame([], self.schema)
-        # each dir is read with the layout its OWN commit recorded — a
-        # single multi-root read would force one partition layout onto all
-        # dirs (Spark partition discovery rejects mixed roots outright).
-        # One relation per commit dir, unioned; compact with
-        # commit_overwrite/expire_snapshots when the commit count grows.
-        layout_of = snap.get("dir_layouts") or {}
-        from pyspark.sql.types import IntegerType, StructField
-        bucketed_schema = StructType(
-            self.schema.fields + [StructField("_bucket", IntegerType(), True)])
-        parts = []
-        for d in snap["dirs"]:
-            path = os.path.join(self.data_dir, d)
-            # legacy logs (no per-commit "dir") fall back to the resolved
-            # snapshot's layout
-            bucketed = layout_of.get(d, snap.get("bucket_col"))
-            if bucketed:
-                parts.append(self.spark.read.schema(bucketed_schema)
-                             .parquet(path).drop("_bucket"))
-            else:
-                parts.append(self.spark.read.schema(self.schema).parquet(path))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
+        paths = self._resolve_paths(snap)
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
+
+    def read_buckets(self, buckets, snapshot_id: str | None = None) -> DataFrame:
+        """Read only the given buckets — pruning happens at the PATH level
+        (unwanted leaf dirs are never listed to Spark), so touching 2 of
+        32 buckets scans ~1/16th of the table's files. Unbucketed dirs in
+        the chain (if any) are always included for correctness."""
+        snap = self._resolve_snapshot(snapshot_id)
+        if snap is None or not snap["dirs"]:
+            return self.spark.createDataFrame([], self.schema)
+        paths = self._resolve_paths(snap, buckets={int(b) for b in buckets})
+        if not paths:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(*paths)
 
     # ---- maintenance ----------------------------------------------------
 
-    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
-        """Drop history: keep the last ``keep_last`` snapshots, delete data
-        dirs no kept snapshot references (orphan dirs from crashed commits
-        are removed too). Returns the deleted dir names."""
+    def compact(self, max_dirs: int = 16) -> str | None:
+        """If the current snapshot references more than ``max_dirs`` data
+        dirs, fold everything into ONE overwrite commit (keeping the
+        current bucket layout). Bounds driver-side path resolution and
+        file counts on long append chains; returns the new snapshot id or
+        None if no compaction was needed."""
+        snap = self.current()
+        if snap is None or len(snap["dirs"]) <= max_dirs:
+            return None
+        return self.commit_overwrite(
+            self.read(), bucket_col=snap.get("bucket_col"),
+            n_buckets=snap.get("n_buckets") or 32,
+            extra={"compacted_from": len(snap["dirs"])})
+
+    def expire_snapshots(self, keep_last: int = 1,
+                         orphan_grace_s: float = 3600.0) -> list[str]:
+        """Drop history: keep the last ``keep_last`` snapshots and delete
+        data dirs no kept snapshot references — EXCEPT young orphan dirs.
+        An orphan (a dir no log record references) may be step 1 of an
+        in-flight commit whose log line hasn't been appended yet; deleting
+        it would corrupt that commit. Orphans are therefore only removed
+        once older than ``orphan_grace_s`` seconds (Iceberg's
+        orphan-file-cleanup age rule). Dirs referenced by EXPIRED
+        snapshots are deleted immediately — the log rewrite below drops
+        those records in the same maintenance action. Single-writer
+        assumption: one process commits/vacuums a table at a time (see
+        module docstring); readers are unaffected either way."""
         snaps = self.snapshots()
         kept = snaps[-keep_last:] if keep_last > 0 else []
-        referenced = {d for s in kept for d in s["dirs"]}
+        referenced_kept = {d for s in kept for d in s["dirs"]}
+        referenced_any = {d for s in snaps for d in s["dirs"]}
+        now = time.time()
         deleted = []
         for d in os.listdir(self.data_dir):
-            if d not in referenced:
-                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
-                deleted.append(d)
+            if d in referenced_kept:
+                continue
+            path = os.path.join(self.data_dir, d)
+            if d not in referenced_any:  # orphan: step-1 of a crashed or
+                try:                     # in-flight commit — age-gate it
+                    if now - os.path.getmtime(path) < orphan_grace_s:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(path, ignore_errors=True)
+            deleted.append(d)
         # rewrite the log to the kept tail (tmp + atomic rename)
         tmp = self.log_path + ".tmp"
         with open(tmp, "w") as f:

@@ -43,10 +43,16 @@ def test_snapshot_overwrite_expire_and_crash_invisibility(spark, tmp_path):
     s2 = t.commit_overwrite(ev.limit(3))
     assert t.read().count() == 3
     assert t.read(s1).count() == 10                       # history intact
+    # default vacuum: s1's dir goes (referenced only by the expired
+    # snapshot), but the YOUNG orphan survives — it could be step 1 of an
+    # in-flight commit whose log line isn't appended yet
     deleted = t.expire_snapshots(keep_last=1)
-    assert len(deleted) == 2                              # s1 dir + orphan
+    assert len(deleted) == 1
     assert t.read().count() == 3                          # kept snapshot fine
     assert [s["snapshot_id"] for s in t.snapshots()] == [s2]
+    # past the grace age the orphan is garbage and is collected
+    assert len(t.expire_snapshots(keep_last=1, orphan_grace_s=0.0)) == 1
+    assert t.read().count() == 3
 
 
 def test_snapshot_bucketed_layout_roundtrip(spark, tmp_path):
@@ -62,6 +68,93 @@ def test_snapshot_bucketed_layout_roundtrip(spark, tmp_path):
     snap_dir = os.path.join(t.data_dir, t.current()["dirs"][0])
     buckets = [d for d in os.listdir(snap_dir) if d.startswith("_bucket=")]
     assert len(buckets) == 8
+
+
+def _scan_count(df) -> int:
+    """Number of parquet scan relations in the physical plan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Scan parquet")
+
+
+def test_snapshot_read_plan_is_one_relation(spark, tmp_path):
+    """50 appends must still read as ONE multi-path parquet relation —
+    the O(#commits) unionByName chain was the round-2 scale gap."""
+    from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), TRIPLES_SCHEMA)
+    df = spark.createDataFrame(
+        [(f"urn:s{i}", "urn:p", f"o{i}", "iri", None, None) for i in range(10)],
+        TRIPLES_SCHEMA)
+    mid = None
+    for i in range(50):
+        sid = t.commit_append(df, bucket_col="s", n_buckets=4)
+        if i == 24:
+            mid = sid
+    back = t.read()
+    assert back.count() == 500
+    assert _scan_count(back) == 1
+    # time travel keeps working mid-chain, also as one relation
+    tt = t.read(mid)
+    assert tt.count() == 250 and _scan_count(tt) == 1
+    # compaction folds the 50-dir chain into one dir
+    assert t.compact(max_dirs=16) is not None
+    assert len(t.current()["dirs"]) == 1
+    assert t.read().count() == 500
+
+
+def test_snapshot_merge_buckets_rewrites_only_changed(spark, tmp_path):
+    """commit_merge_buckets: untouched buckets' data files are carried by
+    reference — byte-identical, same paths — and only the changed buckets
+    appear in the new dir. read_buckets prunes at the path level."""
+    import glob
+    import hashlib
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", LongType(), False)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    base = spark.createDataFrame([(f"k{i}", 1) for i in range(64)], schema)
+    s1 = t.commit_overwrite(base, bucket_col="k", n_buckets=8)
+
+    def bucket_of(key: str) -> int:
+        return spark.sql(
+            f"SELECT pmod(xxhash64('{key}'), 8) b").first()["b"]
+
+    def file_state(dirname):
+        out = {}
+        for p in glob.glob(os.path.join(t.data_dir, dirname, "**", "*.parquet"),
+                           recursive=True):
+            out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    dir1 = t.current()["dirs"][0]
+    before = file_state(dir1)
+    # merge: k3 bumped to n=5, new key knew added — both in known buckets
+    changed = {bucket_of("k3"), bucket_of("knew")}
+    merged = spark.createDataFrame(
+        [(r["k"], 5 if r["k"] == "k3" else r["n"])
+         for r in t.read_buckets(changed).collect()] + [("knew", 7)], schema)
+    t.commit_merge_buckets(merged, changed, bucket_col="k", n_buckets=8)
+
+    # untouched buckets: same files, same bytes (carried by reference)
+    assert file_state(dir1) == before
+    # the new dir holds ONLY the changed buckets
+    dir2 = t.current()["dirs"][-1]
+    leafs = {d for d in os.listdir(os.path.join(t.data_dir, dir2))
+             if d.startswith("_bucket=")}
+    assert leafs == {f"_bucket={b}" for b in changed}
+    # logical content is the merged table
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert len(got) == 65 and got["k3"] == 5 and got["knew"] == 7
+    assert all(got[f"k{i}"] == 1 for i in range(64) if i != 3)
+    # still one scan relation, and time travel sees the pre-merge state
+    assert _scan_count(t.read()) == 1
+    assert {r["k"]: r["n"] for r in t.read(s1).collect()}["k3"] == 1
+    # path-level pruning: reading one bucket lists a fraction of the files
+    one = t.read_buckets({bucket_of("k3")})
+    assert {r["k"] for r in one.collect()} >= {"k3"}
+    assert one.count() < 64
 
 
 def test_streaming_extraction_into_snapshots(spark, tmp_path):
