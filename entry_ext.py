@@ -673,14 +673,46 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         T = core._triples(spark, sf_dir)
         state = IncrementalDQAState.open(
             spark, tempfile.mkdtemp(prefix="incdqa_"))
-        ifp = [t.term for t in core.ENTRY_VOCAB if t.inverse_functional]
         split = F.abs(F.xxhash64("s")) % 2 == 0
-        apply_delta(state, T.filter(split), core.ENTRY_CFG, ifp, n_buckets=8)
-        apply_delta(state, T.filter(~split), core.ENTRY_CFG, ifp, n_buckets=8)
+        apply_delta(state, T.filter(split), core.ENTRY_CFG, core.ENTRY_VOCAB,
+                    n_buckets=8, delta_id="d1")
+        apply_delta(state, T.filter(~split), core.ENTRY_CFG, core.ENTRY_VOCAB,
+                    n_buckets=8, delta_id="d2")
         v = violations_from_state(state, core.ENTRY_VOCAB, core.ENTRY_CFG)
         return (v.filter(F.col("metric") == "LabelForEntities")
                 .select("focus").distinct())
     q["incremental_dqa_label"] = incremental_label
+
+    # --- incremental DQA, append-monotone tier: two deltas, violations
+    # come straight off the append-only mono log — shares the batch
+    # oracles of shape2_correct_range_dt / shape2_misuse_dt.
+    def _incremental_mono(metric, with_item):
+        def run(spark, sf_dir):
+            import tempfile
+
+            from shacl_dqa_prototype_spark.plans.incremental import (
+                IncrementalDQAState,
+                apply_delta,
+                violations_from_state,
+            )
+
+            T2 = _t2(spark, sf_dir)
+            state = IncrementalDQAState.open(
+                spark, tempfile.mkdtemp(prefix="incmono_"))
+            split = F.abs(F.xxhash64("s")) % 2 == 0
+            apply_delta(state, T2.filter(split), CFG2, ENTRY_VOCAB2,
+                        n_buckets=8, delta_id="d1")
+            apply_delta(state, T2.filter(~split), CFG2, ENTRY_VOCAB2,
+                        n_buckets=8, delta_id="d2")
+            v = violations_from_state(state, ENTRY_VOCAB2, CFG2)
+            cols = ["item", "focus"] if with_item else ["focus"]
+            return (v.filter(F.col("metric") == metric)
+                    .select(*cols).distinct())
+        return run
+
+    q["incremental_dqa_range"] = _incremental_mono("CorrectRange", False)
+    q["incremental_dqa_misuse"] = _incremental_mono(
+        "MisuseOwlDatatypeProperties", True)
 
     return q
 
@@ -1129,5 +1161,10 @@ def ext_oracles() -> dict[str, str]:
     o["snapshot_time_travel"] = """
     SELECT event_id, user_id, event_type, value
     FROM events WHERE user_id % 3 = 0"""
+
+    # append-monotone incremental tier must equal the batch plan exactly,
+    # so the incremental entries share the batch families' oracles
+    o["incremental_dqa_range"] = o["shape2_correct_range_dt"]
+    o["incremental_dqa_misuse"] = o["shape2_misuse_dt"]
 
     return o

@@ -175,10 +175,14 @@ def score_plan(
     # one action. cache() is NOT enough — Spark's cache substitution
     # failed to match the subtrees inside the union plan (measured: the
     # union's optimized plan re-derived everything from parquet, 692
-    # scans), while localCheckpoint makes the materialized rows the plan's
-    # leaves outright. Non-reliable checkpoint loss just means re-running
-    # the (single-job) scoring — acceptable for a summary this small.
-    per_shape_report = per_shape_report.localCheckpoint(eager=True)
+    # scans). localCheckpoint worked but PINNED its blocks outside the
+    # CacheManager, where Dataset.unpersist can't release them — one
+    # leaked RDD per assessed dataset in a long-lived session. The report
+    # is a per-shape summary (violation strings already truncated to
+    # MAX_VIOLATION_SAMPLES), so collecting it to a LocalRelation is
+    # driver-bounded at any corpus scale and leaves nothing persisted.
+    per_shape_report = spark.createDataFrame(
+        per_shape_report.collect(), per_shape_report.schema)
 
     # D4 — meta rollup for per-item families: share of items scoring 1.
     meta = (

@@ -21,12 +21,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from shacl_dqa_prototype_spark.operators.extract import extract_fact_mentions
+from pyspark.sql.types import StructField, StructType, TimestampType
+
 from shacl_dqa_prototype_spark.schemas import DOCUMENTS_SCHEMA
 
 
-def stream_documents(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_documents(spark: SparkSession, input_dir: str,
+                     schema=None) -> DataFrame:
+    """File-source document stream. ``schema`` overrides the canonical
+    DOCUMENTS_SCHEMA for feeds that carry extra columns (e.g. an
+    event-time stamp) — file sources need an explicit schema, so extra
+    parquet columns are invisible unless declared here."""
     return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        spark.readStream.schema(schema or DOCUMENTS_SCHEMA)
         .option("maxFilesPerTrigger", 16)
         .parquet(input_dir)
     )
@@ -117,6 +124,7 @@ def start_streaming_dedup(
     key_cols: list[str] | None = None,
     watermark: str = "1 hour",
     available_now: bool = True,
+    event_time_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming exact dedup: drop re-deliveries of the same document across
     microbatches. dropDuplicatesWithinWatermark keys the state store on the
@@ -124,10 +132,27 @@ def start_streaming_dedup(
     state, unlike a plain dropDuplicates whose store grows with the corpus
     (the 100 TB failure mode). Keys default to a digest of the full span
     sequence — the same content identity the batch exact-dedup rule uses
-    on flat text (operators/dedup.py). Documents carry no event time, so
-    arrival time stands in (re-deliveries cluster in time)."""
-    keyed = stream_documents(spark, input_dir).withColumns({
-        "event_time": F.current_timestamp(),
+    on flat text (operators/dedup.py).
+
+    Pass ``event_time_col`` when the feed carries a real event time: the
+    watermark then bounds state by EVENT time, so a late re-delivery
+    inside the watermark is still dropped regardless of arrival order
+    (and one beyond it is documented-kept — that is the state bound).
+    Without it, arrival time stands in (re-deliveries cluster in time),
+    and a re-delivery arriving later than the watermark slips through —
+    the r2-documented limitation this parameter closes. The column must
+    exist in the feed's parquet files; it is declared on top of the
+    canonical document schema (file sources read only declared columns)."""
+    schema = None
+    if event_time_col:
+        schema = StructType(
+            DOCUMENTS_SCHEMA.fields
+            + [StructField(event_time_col, TimestampType(), True)])
+    docs = stream_documents(spark, input_dir, schema=schema)
+    event_time = (F.col(event_time_col).cast("timestamp")
+                  if event_time_col else F.current_timestamp())
+    keyed = docs.withColumns({
+        "event_time": event_time,
         "content_digest": F.md5(F.to_json(F.col("spans"))),
     })
     deduped = (

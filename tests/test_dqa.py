@@ -327,3 +327,47 @@ def test_apply_ini_overlay(tmp_path):
     _apply_ini(args2)
     assert args2.triples == "/x/own.nt"
     assert args2.uris_max_length == 80
+
+
+def test_doc_contract_count_in_sync():
+    """Gate docs must state the live contract size — counts drifted in r1
+    and r2, so they are now asserted, not proofread."""
+    import re
+
+    import __spark_entry__ as core
+
+    n = len(core.queries())
+    assert len(core.oracle_sql()) == n  # every entry value-oracled
+    baseline = open("BASELINE.md").read()
+    m = re.search(r"all (\d+) contract queries \((\d+)/(\d+)", baseline)
+    assert m, "BASELINE.md must state the contract count"
+    assert {int(g) for g in m.groups()} == {n}, (m.groups(), n)
+
+
+def test_cmd_dqa_releases_all_caches(spark, tmp_path):
+    """The spark-submit dqa surface must leave NO persistent RDDs behind —
+    a long-lived session (notebook, orchestrated batch) would otherwise
+    accumulate one violations cache per assessed dataset."""
+    import argparse
+
+    from main import cmd_dqa
+
+    args = argparse.Namespace(
+        cmd="dqa", config=None, triples="/root/reference/datasets/pizza/data.ttl",
+        triples_format="ttl", vocab=["/root/reference/datasets/pizza/pizza.xml"],
+        vocab_names=["pizza_owl"], vocab_formats=["xml"],
+        metadata="/root/reference/datasets/pizza/void.ttl",
+        metadata_format="ttl", metadata_class=None,
+        output=str(tmp_path / "out"), dataset_name="pizza",
+        base_uri="http://example.org/pizza#", type_property=None,
+        labeling_property=None, description_property=None,
+        interlinking_property=None, uris_max_length=None,
+        master=None, shuffle_partitions=None,
+    )
+    # other tests share this session and legitimately hold module-scoped
+    # caches — assert cmd_dqa adds NOTHING, not that the session is empty
+    before = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    cmd_dqa(args)
+    assert (tmp_path / "out" / "dq_assessment_pizza.csv").exists()
+    after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    assert after - before == set(), f"cmd_dqa leaked RDDs {after - before}"

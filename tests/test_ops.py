@@ -427,3 +427,63 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 35
     assert out.select("content_digest").distinct().count() == 35
+
+
+def test_simhash_banding_complete_at_any_hamming(spark):
+    """The banded candidate stage must equal the exact all-pairs bit_count
+    oracle at max_hamming ABOVE 3 — the r2 fixed 4×16 layout silently
+    lost recall there; bands are now derived from max_hamming."""
+    rows = [(i, f"shared common prefix words {'alpha' if i % 2 else 'beta'} "
+                f"tail token {i} {'x' * (i % 5)}") for i in range(24)]
+    docs2 = spark.createDataFrame(rows, ["doc_id", "text"])
+    s = dedup.simhash(docs2)
+    a = s.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sim_a"})
+    b = s.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sim_b"})
+    for mh in (0, 5, 9):
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("h", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+            .filter(F.col("h") <= mh).collect()
+        }
+        banded = {(r["doc_a"], r["doc_b"])
+                  for r in dedup.simhash_near_duplicates(docs2, max_hamming=mh)
+                  .collect()}
+        assert banded == exact, (mh, len(banded), len(exact))
+    with pytest.raises(ValueError):
+        dedup.simhash_near_duplicates(docs2, max_hamming=64)
+
+
+def test_streaming_dedup_event_time(spark, tmp_path):
+    """With an event-time column, a re-delivery whose event time is within
+    the watermark is dropped even when it ARRIVES in a later batch; one
+    beyond the watermark is (documented) kept — that is the state bound."""
+    import datetime
+
+    from shacl_dqa_prototype_spark.datagen import GenConfig, generate_documents
+    from shacl_dqa_prototype_spark.streaming.ingest import start_streaming_dedup
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    docs = generate_documents(spark, GenConfig(n_docs=20, n_entities=10)) \
+        .withColumn("ev_ts", F.lit(t0))
+    docs.write.mode("overwrite").parquet(in_dir)
+
+    q = start_streaming_dedup(spark, in_dir, out_dir, ckpt,
+                              watermark="1 hour", event_time_col="ev_ts")
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 20
+
+    # batch 2: same 20 docs re-delivered 30 min later (inside the 1 h
+    # event-time watermark) → all dropped; 3 new docs pass
+    docs.withColumn("ev_ts", F.lit(t0 + datetime.timedelta(minutes=30))) \
+        .write.mode("append").parquet(in_dir)
+    generate_documents(spark, GenConfig(n_docs=3, n_entities=10, seed=7)) \
+        .withColumn("ev_ts", F.lit(t0 + datetime.timedelta(minutes=30))) \
+        .write.mode("append").parquet(in_dir)
+    q2 = start_streaming_dedup(spark, in_dir, out_dir, ckpt,
+                               watermark="1 hour", event_time_col="ev_ts")
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 23
+    assert out.select("content_digest").distinct().count() == 23
