@@ -658,9 +658,47 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_redact_pii"] = pipe_redact
 
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
-    # derive LabelForEntities from the merged state — must equal the batch
-    # plan AND the DuckDB oracle (shares shape_label_for_entities' SQL).
-    def incremental_label(spark, sf_dir):
+    # derive families from the merged state + monotone log — every entry
+    # must equal the batch plan AND the corresponding batch oracle. State
+    # is built once per (session, sf_dir, corpus) and shared.
+    def _incremental(which, metric, with_item=False, item=None):
+        def run(spark, sf_dir):
+            v = _inc_violations(spark, sf_dir, which)
+            v = v.filter(F.col("metric") == metric)
+            if item:
+                v = v.filter(F.col("item") == item)
+            cols = ["item", "focus"] if with_item else ["focus"]
+            return v.select(*cols).distinct()
+        return run
+
+    q["incremental_dqa_label"] = _incremental("core", "LabelForEntities")
+    # append-monotone tier (shares shape2_correct_range_dt / shape2_misuse_dt)
+    q["incremental_dqa_range"] = _incremental("t2", "CorrectRange")
+    q["incremental_dqa_misuse"] = _incremental(
+        "t2", "MisuseOwlDatatypeProperties", with_item=True)
+    # retractable anti-join tier: state ⋈ state derivations (share the
+    # batch families' oracles)
+    q["incremental_dqa_domain"] = _incremental("t2", "CorrectDomain")
+    q["incremental_dqa_range_cls"] = _incremental(
+        "core", "CorrectRange", item="urn:p:hasCustomer")
+    q["incremental_dqa_disjoint"] = _incremental(
+        "core", "EntitiesDisjointClasses")
+    q["incremental_dqa_asymmetric"] = _incremental(
+        "core", "AsymmetricProperty")
+
+    return q
+
+
+_INC_V_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _inc_violations(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    """State-derived violations over the core or T2 corpus, built by TWO
+    apply_delta appends into a fresh state dir — cached per
+    (session, sf_dir, corpus) so the seven incremental contract entries
+    fold the corpus once, not once each."""
+    key = (id(spark), sf_dir, which)
+    if key not in _INC_V_CACHE:
         import tempfile
 
         import __spark_entry__ as core
@@ -670,51 +708,22 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             violations_from_state,
         )
 
-        T = core._triples(spark, sf_dir)
+        if which == "core":
+            T, cfg, vocab, disjoint = (core._triples(spark, sf_dir),
+                                       core.ENTRY_CFG, core.ENTRY_VOCAB,
+                                       core.ENTRY_DISJOINT)
+        else:
+            T, cfg, vocab, disjoint = _t2(spark, sf_dir), CFG2, ENTRY_VOCAB2, []
         state = IncrementalDQAState.open(
-            spark, tempfile.mkdtemp(prefix="incdqa_"))
+            spark, tempfile.mkdtemp(prefix=f"incdqa_{which}_"))
         split = F.abs(F.xxhash64("s")) % 2 == 0
-        apply_delta(state, T.filter(split), core.ENTRY_CFG, core.ENTRY_VOCAB,
+        apply_delta(state, T.filter(split), cfg, vocab,
                     n_buckets=8, delta_id="d1")
-        apply_delta(state, T.filter(~split), core.ENTRY_CFG, core.ENTRY_VOCAB,
+        apply_delta(state, T.filter(~split), cfg, vocab,
                     n_buckets=8, delta_id="d2")
-        v = violations_from_state(state, core.ENTRY_VOCAB, core.ENTRY_CFG)
-        return (v.filter(F.col("metric") == "LabelForEntities")
-                .select("focus").distinct())
-    q["incremental_dqa_label"] = incremental_label
-
-    # --- incremental DQA, append-monotone tier: two deltas, violations
-    # come straight off the append-only mono log — shares the batch
-    # oracles of shape2_correct_range_dt / shape2_misuse_dt.
-    def _incremental_mono(metric, with_item):
-        def run(spark, sf_dir):
-            import tempfile
-
-            from shacl_dqa_prototype_spark.plans.incremental import (
-                IncrementalDQAState,
-                apply_delta,
-                violations_from_state,
-            )
-
-            T2 = _t2(spark, sf_dir)
-            state = IncrementalDQAState.open(
-                spark, tempfile.mkdtemp(prefix="incmono_"))
-            split = F.abs(F.xxhash64("s")) % 2 == 0
-            apply_delta(state, T2.filter(split), CFG2, ENTRY_VOCAB2,
-                        n_buckets=8, delta_id="d1")
-            apply_delta(state, T2.filter(~split), CFG2, ENTRY_VOCAB2,
-                        n_buckets=8, delta_id="d2")
-            v = violations_from_state(state, ENTRY_VOCAB2, CFG2)
-            cols = ["item", "focus"] if with_item else ["focus"]
-            return (v.filter(F.col("metric") == metric)
-                    .select(*cols).distinct())
-        return run
-
-    q["incremental_dqa_range"] = _incremental_mono("CorrectRange", False)
-    q["incremental_dqa_misuse"] = _incremental_mono(
-        "MisuseOwlDatatypeProperties", True)
-
-    return q
+        _INC_V_CACHE[key] = violations_from_state(
+            state, vocab, cfg, disjoint_pairs=disjoint).cache()
+    return _INC_V_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -1162,9 +1171,10 @@ def ext_oracles() -> dict[str, str]:
     SELECT event_id, user_id, event_type, value
     FROM events WHERE user_id % 3 = 0"""
 
-    # append-monotone incremental tier must equal the batch plan exactly,
-    # so the incremental entries share the batch families' oracles
+    # the incremental tiers must equal the batch plan exactly, so the
+    # incremental entries share the batch families' oracles
     o["incremental_dqa_range"] = o["shape2_correct_range_dt"]
     o["incremental_dqa_misuse"] = o["shape2_misuse_dt"]
+    o["incremental_dqa_domain"] = o["shape2_correct_domain"]
 
     return o

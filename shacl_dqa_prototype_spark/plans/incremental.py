@@ -1,8 +1,9 @@
-"""Incremental DQA: exact maintenance of profile + delta-safe constraint
-families across snapshot APPENDs, without rescanning old triples.
+"""Incremental DQA: exact maintenance of profile + EVERY constraint
+family across snapshot APPENDs, without rescanning old triples.
 
 At 100 TB a corpus grows by appends; re-running the whole DQA per append
-re-reads everything. Incremental coverage comes in THREE tiers:
+re-reads everything. Incremental coverage comes in TWO tiers that
+together cover all families — no family re-scans historical triples:
 
 1. Mergeable state (classic incremental-view-maintenance aggregates) —
    each merge is ONE co-partitioned shuffle of (delta-aggregate ∪ touched
@@ -13,6 +14,9 @@ re-reads everything. Incremental coverage comes in THREE tiers:
      ps_counts   (p, s, n)                       merge: groupBy(p,s) sum
      cls_pairs   (cls, s)                        merge: union-distinct
      po_pairs    (p, o, s)  [IFP props only]     merge: union-distinct
+     dom_pairs   (p, s)    [class-domain props]  merge: union-distinct
+     spo_pairs   (p, s, o) [class-range + asymmetric props]
+                                                 merge: union-distinct
 
    Commits are BUCKET-PRUNED (SnapshotTable.commit_merge_buckets): only
    the hash buckets the delta touches are rewritten; untouched buckets
@@ -27,12 +31,6 @@ re-reads everything. Incremental coverage comes in THREE tiers:
    or retract them), so they are evaluated on the delta alone and
    commit_append-ed to a violations log — zero state, zero rewrite.
 
-3. Families needing a join against the FULL triple set (domain/range-
-   class, disjoint, asymmetric): anti-join semantics make them neither
-   mergeable nor monotone (a later type-triple can RETRACT a violation) —
-   the caller re-evaluates those over the snapshot table's current view
-   (documented split; tiers 1+2 dominate volume).
-
 Derived EXACTLY from tier-1 state (parity asserted in
 tests/test_incremental.py):
   * profile: num_triples / num_properties / triples_per_property (sums
@@ -40,12 +38,28 @@ tests/test_incremental.py):
     label/ilp coverage (subj_flags), entities_per_class (cls_pairs);
   * entity-scoped families C2-C6/C8-C13/C15 (filters on subj_flags);
   * C24 FunctionalProperty (ps_counts n > 1 for functional props);
-  * C23 IFP uniqueness (po_pairs grouped, >1 distinct subject).
+  * C23 IFP uniqueness (po_pairs grouped, >1 distinct subject);
+  * the RETRACTABLE anti-join families — a later type-triple can retract
+    their violations, so they can't be monotone, but the anti-join only
+    needs (pair-state, typing-state), both maintained:
+      C26 CorrectDomain(class)   dom_pairs anti-join cls_pairs on s
+      C29 CorrectRange(class)    spo_pairs anti-join cls_pairs on o
+      C25 AsymmetricProperty     spo_pairs self-join pair swap
+      C16 EntitiesDisjointClasses cls_pairs self-join on s
+      C7  SchemaCompletenessClassUsage  vocab classes anti-join cls_pairs
+    (dom_pairs is bucketed by s and spo_pairs by o to co-partition with
+    cls_pairs(s) for the anti-joins; usage-pruning sets are read from
+    ps_counts/cls_pairs — O(#terms) collects, no triple scan.)
+
+State emits violations per DISTINCT (item, focus[, value]) — duplicate
+raw triples don't produce duplicate violation rows the way a batch scan
+does. Scoring is unaffected (it distincts focus nodes), and the parity
+tests compare distinct sets.
 
 State lives in SnapshotTables, so DQA state itself is atomic, resumable,
 and time-travelable. apply_delta is IDEMPOTENT per delta_id: every table
 commit records the delta id, and a retried apply skips tables whose log
-already carries it — a crash between the four commits is healed by
+already carries it — a crash between the seven commits is healed by
 re-running the same delta (same scheme as the streaming sink's
 (run, epoch) key in streaming/ingest.py).
 """
@@ -74,6 +88,7 @@ from shacl_dqa_prototype_spark.schemas import VIOLATIONS_SCHEMA
 from shacl_dqa_prototype_spark.sources.snapshots import SnapshotTable
 from shacl_dqa_prototype_spark.functions.terms import (
     EXEMPT_TYPES,
+    OWL_NAMED_INDIVIDUAL,
     PROLIX_CLASSES,
     RDFS,
 )
@@ -99,6 +114,15 @@ PO_PAIRS_SCHEMA = StructType([
     StructField("o", StringType(), False),
     StructField("s", StringType(), False),
 ])
+DOM_PAIRS_SCHEMA = StructType([
+    StructField("p", StringType(), False),
+    StructField("s", StringType(), False),
+])
+SPO_PAIRS_SCHEMA = StructType([
+    StructField("p", StringType(), False),
+    StructField("s", StringType(), False),
+    StructField("o", StringType(), False),
+])
 
 # Families whose violations are decided per-triple against broadcast vocab
 # dims only — append-monotone: a delta's violations are final and complete.
@@ -119,12 +143,46 @@ MONOTONE_METRICS = (
 _OWL_THING = "http://www.w3.org/2002/07/owl#Thing"
 
 
+def _dom_class_props(vocab_terms: list[VocabTerm]) -> dict[str, str]:
+    """prop → class domain, for the props whose CorrectDomain branch is the
+    sh:class anti-join (constraints.py dom_class routing; owl:Thing domains
+    are the vacuous nodeKind shape — no violations, no state)."""
+    return {t.term: t.domain for t in vocab_terms
+            if t.term_kind != "class" and t.domain and not t.deprecated
+            and t.domain != _OWL_THING}
+
+
+def _rng_class_props(vocab_terms: list[VocabTerm]) -> dict[str, str]:
+    """prop → class range, for the props whose CorrectRange branch is the
+    sh:class anti-join — same per-term-kind routing as the batch compiler
+    (object_property: Thing/Resource → nodeKind, monotone tier;
+    rdf_property: class-kind range ALWAYS sh:class, reference parity)."""
+    out = {}
+    for t in vocab_terms:
+        if t.term_kind == "class" or not t.range or t.deprecated:
+            continue
+        if (t.term_kind == "object_property"
+                and t.range not in (_OWL_THING, f"{RDFS}Resource")):
+            out[t.term] = t.range
+        elif t.term_kind == "rdf_property" and t.range_kind != "literal":
+            out[t.term] = t.range
+    return out
+
+
+def _asym_props(vocab_terms: list[VocabTerm]) -> list[str]:
+    # batch parity: asymmetric harvesting does NOT exclude deprecated
+    return [t.term for t in vocab_terms
+            if t.term_kind != "class" and t.asymmetric]
+
+
 @dataclass
 class IncrementalDQAState:
     subj_flags: SnapshotTable
     ps_counts: SnapshotTable
     cls_pairs: SnapshotTable
     po_pairs: SnapshotTable
+    dom_pairs: SnapshotTable
+    spo_pairs: SnapshotTable
     mono_violations: SnapshotTable
 
     @classmethod
@@ -138,6 +196,10 @@ class IncrementalDQAState:
                 spark, os.path.join(state_dir, "cls_pairs"), CLS_PAIRS_SCHEMA),
             po_pairs=SnapshotTable(
                 spark, os.path.join(state_dir, "po_pairs"), PO_PAIRS_SCHEMA),
+            dom_pairs=SnapshotTable(
+                spark, os.path.join(state_dir, "dom_pairs"), DOM_PAIRS_SCHEMA),
+            spo_pairs=SnapshotTable(
+                spark, os.path.join(state_dir, "spo_pairs"), SPO_PAIRS_SCHEMA),
             mono_violations=SnapshotTable(
                 spark, os.path.join(state_dir, "mono_violations"),
                 VIOLATIONS_SCHEMA),
@@ -225,7 +287,7 @@ def apply_delta(
 
     Pass ``delta_id`` (any stable string — a snapshot id, an epoch) to
     make the apply IDEMPOTENT: every table commit records it, and a retry
-    after a crash that landed only some of the five commits skips the
+    after a crash that landed only some of the seven commits skips the
     tables already carrying the id (sum-merged ps_counts would otherwise
     double-count). Old snapshots stay readable (time travel / rollback);
     call expire_snapshots to vacuum."""
@@ -290,6 +352,40 @@ def apply_delta(
                     merged_po, bs, bucket_col="o", n_buckets=n_buckets,
                     extra=extra)
 
+        # (p, s) pairs of class-domain props — CorrectDomain anti-joins
+        # them against cls_pairs; bucketed by s so that join co-partitions
+        dom_props = sorted(_dom_class_props(vocab_terms))
+        if dom_props and not _already(state.dom_pairs):
+            d_dom = (delta.filter(F.col("p").isin(dom_props))
+                     .select("p", "s").distinct())
+            bs = _changed_buckets(d_dom, "s", n_buckets)
+            if bs:
+                merged_dom = (
+                    state.dom_pairs.read_buckets(bs)
+                    .unionByName(d_dom).distinct()
+                )
+                state.dom_pairs.commit_merge_buckets(
+                    merged_dom, bs, bucket_col="s", n_buckets=n_buckets,
+                    extra=extra)
+
+        # (p, s, o) pairs of class-range + asymmetric props — range
+        # anti-joins on o against cls_pairs (hence bucketed by o);
+        # asymmetric self-joins within the (small) per-prop slice
+        spo_props = sorted(set(_rng_class_props(vocab_terms))
+                           | set(_asym_props(vocab_terms)))
+        if spo_props and not _already(state.spo_pairs):
+            d_spo = (delta.filter(F.col("p").isin(spo_props))
+                     .select("p", "s", "o").distinct())
+            bs = _changed_buckets(d_spo, "o", n_buckets)
+            if bs:
+                merged_spo = (
+                    state.spo_pairs.read_buckets(bs)
+                    .unionByName(d_spo).distinct()
+                )
+                state.spo_pairs.commit_merge_buckets(
+                    merged_spo, bs, bucket_col="o", n_buckets=n_buckets,
+                    extra=extra)
+
         # monotone families: violations of THIS delta are final — plain
         # append, nothing merged, nothing rewritten
         if not _already(state.mono_violations):
@@ -338,9 +434,14 @@ def violations_from_state(
     state: IncrementalDQAState,
     vocab_terms: list[VocabTerm],
     cfg: DQAConfig,
+    disjoint_pairs: list[tuple[str, str]] | None = None,
+    subclass_pairs: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """Violations for the state-derivable + monotone families, same
-    (metric, item, focus, value) shape as compile_data_constraints emits."""
+    """Violations for ALL constraint families from state + the monotone
+    log, same (metric, item, focus, value) shape as
+    compile_data_constraints emits (rows per distinct item/focus — see
+    module docstring). ``disjoint_pairs``/``subclass_pairs`` mirror the
+    batch compiler's arguments."""
     flags = state.subj_flags.read()
     EnX = flags.filter(F.col("is_entity") & ~F.col("is_exempt"))
     parts = []
@@ -398,6 +499,96 @@ def violations_from_state(
             F.lit("InverseFunctionalPropertyUniqueness").alias("metric"),
             F.col("p").alias("item"), F.col("o").alias("focus"),
             F.lit(None).cast("string").alias("value")))
+
+    # ---- retractable anti-join families: state ⋈ state, no triple scan ----
+    spark = flags.sparkSession
+    cls = state.cls_pairs.read()
+    # usage-pruning parity with the batch compiler, read from state
+    # (O(#properties)/O(#classes) collects)
+    used_props = {r["p"] for r in
+                  state.ps_counts.read().select("p").distinct().collect()}
+    used_classes = {r["cls"] for r in cls.select("cls").distinct().collect()}
+    # typing extended through the rdfs:subClassOf closure (broadcast dim)
+    typed = cls.select("s", F.col("cls").alias("o"))
+    if subclass_pairs:
+        closure = spark.createDataFrame(subclass_pairs, ["o", "anc"])
+        typed = typed.unionByName(
+            typed.join(F.broadcast(closure), "o")
+            .select("s", F.col("anc").alias("o"))
+        ).distinct()
+
+    def _v2(df, metric, item_col, focus_col, value_col=None):
+        parts.append(df.select(
+            F.lit(metric).alias("metric"),
+            F.col(item_col).alias("item"),
+            F.col(focus_col).alias("focus"),
+            (F.col(value_col) if value_col
+             else F.lit(None).cast("string")).alias("value")))
+
+    # C26 CorrectDomain(class): dom_pairs without a matching (s, domain)
+    # typing row — both sides bucketed by s
+    dom = {pp: d for pp, d in _dom_class_props(vocab_terms).items()
+           if pp in used_props}
+    if dom:
+        dom_df = spark.createDataFrame(list(dom.items()), ["p", "domain"])
+        subj_prop = state.dom_pairs.read().join(F.broadcast(dom_df), "p")
+        typed_as = typed.withColumnsRenamed({"o": "domain"})
+        _v2(subj_prop.join(typed_as, ["s", "domain"], "left_anti"),
+            "CorrectDomain", "p", "s")
+
+    # C29 CorrectRange(class): spo_pairs whose object lacks the range
+    # typing — spo_pairs bucketed by o to co-partition with cls_pairs(s)
+    rng = {pp: r for pp, r in _rng_class_props(vocab_terms).items()
+           if pp in used_props}
+    if rng:
+        rng_df = spark.createDataFrame(list(rng.items()), ["p", "range"])
+        vals_c = state.spo_pairs.read().join(F.broadcast(rng_df), "p")
+        typed_obj = typed.select(F.col("s").alias("o"),
+                                 F.col("o").alias("range"))
+        _v2(vals_c.join(typed_obj, ["o", "range"], "left_anti"),
+            "CorrectRange", "p", "s", "o")
+
+    # C25 AsymmetricProperty: pair-swap semi self-join within state
+    asym = sorted(set(_asym_props(vocab_terms)) & used_props)
+    if asym:
+        R = state.spo_pairs.read().filter(F.col("p").isin(asym))
+        Rswap = R.select(F.col("p").alias("p2"), F.col("o").alias("s2"),
+                         F.col("s").alias("o2"))
+        mutual = R.join(
+            Rswap,
+            (R.p == Rswap.p2) & (R.s == Rswap.s2) & (R.o == Rswap.o2),
+            "semi")
+        _v2(mutual, "AsymmetricProperty", "p", "s", "o")
+
+    # C16 EntitiesDisjointClasses: directed pairs over the typing state
+    if disjoint_pairs:
+        dpairs = [
+            (a, b) for (a, b) in
+            ({(a, b) for (a, b) in disjoint_pairs}
+             | {(b, a) for (a, b) in disjoint_pairs})
+            if a in used_classes
+        ]
+        if dpairs:
+            pair_df = spark.createDataFrame(dpairs, ["class_a", "class_b"])
+            ta = typed.withColumnsRenamed({"o": "class_a"})
+            tb = typed.withColumnsRenamed({"o": "class_b"})
+            both = (ta.join(tb, "s")
+                    .join(F.broadcast(pair_df), ["class_a", "class_b"], "semi")
+                    .withColumn("pair", F.concat_ws("|", "class_a", "class_b")))
+            _v2(both, "EntitiesDisjointClasses", "pair", "s")
+
+    # C7 SchemaCompletenessClassUsage: vocab classes with no instance that
+    # isn't typed owl:NamedIndividual
+    vclasses = [t.term for t in vocab_terms
+                if t.term_kind == "class" and not t.deprecated]
+    if vclasses:
+        cls_df = spark.createDataFrame([(c,) for c in vclasses], ["cls"])
+        ni = cls.filter(F.col("cls") == OWL_NAMED_INDIVIDUAL) \
+                .select("s").distinct()
+        with_instances = (cls.join(ni, "s", "left_anti")
+                          .select("cls").distinct())
+        missing = cls_df.join(F.broadcast(with_instances), "cls", "left_anti")
+        _v2(missing, "SchemaCompletenessClassUsage", "cls", "cls")
 
     # monotone families come straight off the append-only log. Per-triple
     # rows are naturally disjoint across deltas; MisplacedProperties emits

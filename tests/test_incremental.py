@@ -30,6 +30,9 @@ DERIVABLE = [
     "MisuseOwlDatatypeProperties", "DeprecatedClasses",
     "DeprecatedProperties", "MisplacedProperties", "MisplacedClasses",
     "IrreflexiveProperty", "CorrectRange", "MalformedLiteral",
+    # retractable anti-join families: state ⋈ state derivations
+    "CorrectDomain", "AsymmetricProperty", "EntitiesDisjointClasses",
+    "SchemaCompletenessClassUsage",
 ]
 
 
@@ -79,18 +82,16 @@ def test_incremental_profile_matches_batch(spark, tmp_path):
 def test_incremental_violations_match_batch(spark, tmp_path):
     T = core._triples(spark, SF)
     state = _fold_in_two(spark, tmp_path, T)
-    inc_v = violations_from_state(state, core.ENTRY_VOCAB, core.ENTRY_CFG)
+    inc_v = violations_from_state(state, core.ENTRY_VOCAB, core.ENTRY_CFG,
+                                  disjoint_pairs=core.ENTRY_DISJOINT)
     batch_v = compile_data_constraints(
         T, core.ENTRY_VOCAB, core.ENTRY_DISJOINT, core.ENTRY_CFG).violations
-    # sh:class ranges are anti-joins against the full typing table — NOT
-    # append-monotone, served by batch re-evaluation, excluded from parity
-    class_range_items = [t.term for t in core.ENTRY_VOCAB
-                         if t.range is not None and t.range_kind == "class"]
-    assert class_range_items  # the exclusion itself must be exercised
+    # the sh:class range branch (retractable anti-join) must be exercised,
+    # not vacuous — it used to be the batch-only tier
+    assert any(t.range is not None and t.range_kind == "class"
+               for t in core.ENTRY_VOCAB)
     for metric in DERIVABLE:
         cond = F.col("metric") == metric
-        if metric == "CorrectRange":
-            cond = cond & ~F.col("item").isin(class_range_items)
         inc = sorted(map(tuple, inc_v.filter(cond)
                          .select("item", "focus").distinct().collect()))
         ref = sorted(map(tuple, batch_v.filter(cond)
@@ -98,7 +99,8 @@ def test_incremental_violations_match_batch(spark, tmp_path):
         assert inc == ref, f"{metric}: {len(inc)} vs {len(ref)}"
         if metric in ("LabelForEntities", "FunctionalProperty",
                       "MalformedLiteral", "IrreflexiveProperty",
-                      "SelfDescriptiveFormatProperties", "CorrectRange"):
+                      "SelfDescriptiveFormatProperties", "CorrectRange",
+                      "AsymmetricProperty", "EntitiesDisjointClasses"):
             assert inc, f"{metric} parity is vacuous (0 rows)"
 
 
@@ -107,21 +109,20 @@ def test_apply_delta_idempotent_on_retry(spark, tmp_path):
     table — sum-merged ps_counts would otherwise double-count."""
     T = core._triples(spark, SF)
     state = _fold_in_two(spark, tmp_path, T)
+    tables = (state.subj_flags, state.ps_counts, state.cls_pairs,
+              state.po_pairs, state.dom_pairs, state.spo_pairs,
+              state.mono_violations)
     before = {
         "n_triples": state.ps_counts.read().agg(F.sum("n")).first()[0],
         "mono": state.mono_violations.read().count(),
-        "snaps": [len(t.snapshots()) for t in (
-            state.subj_flags, state.ps_counts, state.cls_pairs,
-            state.po_pairs, state.mono_violations)],
+        "snaps": [len(t.snapshots()) for t in tables],
     }
     split = F.abs(F.xxhash64("s")) % 2 == 0
     apply_delta(state, T.filter(~split), core.ENTRY_CFG, core.ENTRY_VOCAB,
                 n_buckets=4, delta_id="d2")  # retry of the second delta
     assert state.ps_counts.read().agg(F.sum("n")).first()[0] == before["n_triples"]
     assert state.mono_violations.read().count() == before["mono"]
-    assert [len(t.snapshots()) for t in (
-        state.subj_flags, state.ps_counts, state.cls_pairs,
-        state.po_pairs, state.mono_violations)] == before["snaps"]
+    assert [len(t.snapshots()) for t in tables] == before["snaps"]
 
 
 def test_merge_commits_rewrite_only_touched_buckets(spark, tmp_path):
