@@ -584,7 +584,10 @@ def oracle_sql() -> dict[str, str]:
                + hits / 5.0 * 0.3, 6) AS quality
     FROM y"""
 
-    # language-id: marker occurrence scoring, argmax with lang-desc tiebreak
+    # language-id: marker occurrence scoring, argmax with lang-desc
+    # tiebreak (mirrors language_id's strict-> override order). The CASE
+    # chain is GENERATED from LANG_MARKERS so adding a language cannot
+    # desync the oracle from the operator.
     lang_scores = []
     from shacl_dqa_prototype_spark.operators.textstats import LANG_MARKERS
     for lang in sorted(LANG_MARKERS):
@@ -593,15 +596,19 @@ def oracle_sql() -> dict[str, str]:
             for m in LANG_MARKERS[lang]
         )
         lang_scores.append(f"({terms}) AS score_{lang}")
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    all_scores = ", ".join(f"score_{lg}" for lg in sorted(LANG_MARKERS))
+    case_lines = [f"CASE WHEN greatest({all_scores}) <= 0 THEN 'und'"]
+    for i, lang in enumerate(langs_desc[:-1]):
+        rest = ", ".join(f"score_{lg}" for lg in langs_desc[i + 1 :])
+        g = f"greatest({rest})" if "," in rest else rest
+        case_lines.append(f"WHEN score_{lang} >= {g} THEN '{lang}'")
+    case_lines.append(f"ELSE '{langs_desc[-1]}' END AS lang_pred")
     o["text_langid"] = f"""
     WITH x AS (SELECT doc_id, concat(' ', lower(text), ' ') AS padded FROM documents),
     sc AS (SELECT doc_id, {', '.join(lang_scores)} FROM x)
     SELECT doc_id,
-      CASE WHEN greatest(score_de, score_en, score_es, score_fr) <= 0 THEN 'und'
-           WHEN score_fr >= greatest(score_de, score_en, score_es) THEN 'fr'
-           WHEN score_es >= greatest(score_de, score_en) THEN 'es'
-           WHEN score_en >= score_de THEN 'en'
-           ELSE 'de' END AS lang_pred
+      {' '.join(case_lines)}
     FROM sc"""
 
     o["sim_topk_cosine"] = """

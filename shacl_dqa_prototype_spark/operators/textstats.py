@@ -12,12 +12,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # Tiny language marker lists (n-gram/stopword heuristic). Deterministic,
-# engine-portable (pure CASE/instr logic).
+# engine-portable (pure CASE/instr logic). Declared heuristic, not a
+# production langid: 12 languages, 3 high-frequency function words each,
+# ASCII-only so no engine disagrees on normalization. Shared markers
+# (" de ", " la ") are fine — scores compete and argmax decides.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": [" the ", " and ", " of "],
     "es": [" el ", " la ", " de "],
     "de": [" der ", " und ", " das "],
     "fr": [" le ", " et ", " la "],
+    "it": [" il ", " che ", " di "],
+    "pt": [" uma ", " com ", " para "],
+    "nl": [" het ", " een ", " van "],
+    "sv": [" och ", " att ", " det "],
+    "pl": [" jest ", " nie ", " czy "],
+    "tr": [" bir ", " ve ", " bu "],
+    "id": [" yang ", " dan ", " itu "],
+    "ro": [" este ", " din ", " pentru "],
 }
 
 BPE_ISH_RX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -155,10 +166,49 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> Da
     )
 
 
-# Docs are processed in ~1 MB groups so the dozen flat intermediates stay
-# cache-resident — the kernel is memory-bandwidth-bound, and DRAM-sized
-# temporaries cost ~5x over cache-sized ones.
-_FP_CHUNK = 1 << 17
+# Docs are processed in small groups so the dozen flat uint64
+# intermediates stay cache-resident — the kernel is memory-bandwidth-
+# bound, and DRAM-sized temporaries cost ~5x over cache-sized ones.
+# 16 KiB of input ⇒ 128 KiB per scratch array, ~1.5 MiB live: L2-sized.
+# (Measured sweep on the longdoc micro-bench with the doubling kernel:
+# 2^14 ≈ 52 MB/s, 2^16 ≈ 46, 2^18 ≈ 37.)
+_FP_CHUNK = 1 << 14
+
+
+class _FpTables:
+    """Grow-only per-process cache of the power/inverse-power tables and
+    kernel scratch. Profiling showed the per-batch _np_powmod_table
+    rebuilds plus the reversed/split table copies cost ~20% of the
+    batch — they depend only on (base, capacity), so they are computed
+    once at the high-water capacity and sliced per batch. Memory is
+    bounded by 7 uint64 arrays at the longest chunk/document seen."""
+
+    _cache: dict[int, "_FpTables"] = {}
+
+    def __init__(self, cap: int):
+        import numpy as np
+
+        base_inv = pow(_FP_BASE, _FP_MOD - 2, _FP_MOD)
+        self.cap = cap
+        self.P = _np_powmod_table(_FP_BASE, cap)
+        PI = _np_powmod_table(base_inv, cap)
+        self.PI1, self.PI0 = PI >> 31, PI & ((1 << 31) - 1)
+        PR = self.P[::-1].copy()
+        self.PR1 = PR >> 31
+        self.PR0 = PR & ((1 << 31) - 1)
+        self.PIR1 = self.PI1[::-1].copy()
+        self.PIR0 = self.PI0[::-1].copy()
+        self.scratch = _FpScratch(cap)
+
+    @classmethod
+    def for_cap(cls, cap: int) -> "_FpTables":
+        got = cls._cache.get(_FP_BASE)
+        if got is None or got.cap < cap:
+            # grow in powers of two above the floor so repeated slightly-
+            # longer documents don't rebuild every batch
+            got = cls(max(_FP_CHUNK, 1 << (cap - 1).bit_length()))
+            cls._cache[_FP_BASE] = got
+        return got
 
 
 class _FpScratch:
@@ -175,80 +225,124 @@ class _FpScratch:
         self.u64 = [np.empty(cap, dtype=np.uint64) for _ in range(9)]
 
 
-def _fp_kernel_uniform(S8, ne_lens, window: int, PR, PIR1, PIR0, cap, sc):
+def _fp_kernel_uniform(S8, ne_lens, window: int, PR1, PR0, PIR1, PIR0,
+                       cap, sc):
     """Fast path of _fp_kernel for chunks where every doc is ≥ window
     bytes: digits use a CHUNK-global exponent BASE^(Lc-1-j), so the
-    pre-reversed power and inverse-power tables are read as forward
-    contiguous views — no gathers, no np.repeat, no per-position index
-    arrays. Doc boundaries only surface in the final paired-reduceat
-    ranges (windows that straddle a boundary produce garbage and are
-    excluded there)."""
+    pre-reversed power and inverse-power tables (pre-split into 31-bit
+    limbs at cache-build time) are read as forward contiguous views — no
+    gathers, no np.repeat, no per-position index arrays, no per-batch
+    limb splits. Window sums come from shifted-add DOUBLING — log2(w)
+    SIMD add passes with bound-tracked Mersenne folds — instead of the
+    split-limb prefix-sum pair: np.cumsum's sequential scalar loop
+    measured ~8x the cost of a vector add pass, and the doubling needs
+    no limb split at all. Doc boundaries only surface in the final
+    paired-reduceat ranges (windows that straddle a boundary produce
+    garbage and are excluded there)."""
     import numpy as np
 
     M = _FP_MOD
     MASK30 = (1 << 30) - 1
     MASK31 = (1 << 31) - 1
-    MASK29 = (1 << 29) - 1
-    MASK32 = (1 << 32) - 1
     L = S8.shape[0]
     w = window
     ends = np.cumsum(ne_lens)
     starts = ends - ne_lens
-    S, lo, hi, A, C_hi, C_lo, win, t0, t1 = (b[:L] for b in sc.u64)
+    S, lo, hi, A, T, U, W, t0, t1 = (b[:L] for b in sc.u64)
     np.copyto(S, S8, casting="unsafe")
     # digit A[j] = s[j] * BASE^(L-1-j): PR[cap-k] = BASE^k, so the needed
     # powers are the forward slice PR[cap-L+1 : cap+1]
-    Pv = PR[cap - L + 1 : cap + 1]
-    np.right_shift(Pv, 31, out=hi)
-    hi *= S                                   # < 2^38
-    np.bitwise_and(Pv, MASK31, out=lo)
-    lo *= S                                   # < 2^39
+    np.multiply(PR1[cap - L + 1 : cap + 1], S, out=hi)  # < 2^38
+    np.multiply(PR0[cap - L + 1 : cap + 1], S, out=lo)  # < 2^39
     np.right_shift(hi, 30, out=A)
     hi &= MASK30
     hi <<= 31
     A += hi
     A += lo                                   # < 2^62
-    np.right_shift(A, 32, out=t0)
-    np.cumsum(t0, out=C_hi)                   # step < 2^30
-    A &= MASK32
-    np.cumsum(A, out=C_lo)
-    # window limb sums: win[i] = C[i+w-1] - C[i-1]; global tail past the
-    # last window start holds garbage, excluded by the reduceat ranges
-    win_hi, win_lo = hi, lo
-    nv = L - w + 1                            # valid-prefix length
-    win_hi[:nv] = C_hi[w - 1 :]
-    win_hi[1:nv] -= C_hi[: nv - 1]
-    win_lo[:nv] = C_lo[w - 1 :]
-    win_lo[1:nv] -= C_lo[: nv - 1]
-    # everything below runs on the valid prefix only
-    win_hi, win_lo, win, t0, t1 = (
-        x[:nv] for x in (win_hi, win_lo, win, t0, t1)
-    )
-    np.right_shift(win_hi, 29, out=win)
-    win_hi &= MASK29
-    win_hi <<= 32
-    win += win_hi
-    win += win_lo                             # < 2^62: no fold needed, the
-    # mulmod below tolerates a < 2^62 (partials stay < 2^64)
+
+    def _fold(x):
+        """x ← x mod-equivalent < 2^61 + small (2^61 ≡ 1)."""
+        tv = t0[: x.shape[0]]
+        np.right_shift(x, 61, out=tv)
+        np.bitwise_and(x, M, out=x)
+        x += tv
+
+    _fold(A)                                  # < 2^61 + 2
+
+    # ---- window sums by shifted-add doubling ------------------------------
+    # P_{2k}[i] = P_k[i] + P_k[i+k]; per set bit of w, acc[i] += P_k[i+off].
+    # Exact upper bounds are tracked in Python ints; a fold is inserted
+    # only when the next uint64 add could wrap. Entries past each array's
+    # valid range hold garbage — excluded by nv and the reduceat ranges.
+    nv = L - w + 1
+    free = [T, U]
+    cur, cb, k = A, (1 << 61) + 2, 1
+    acc = None
+    ab = off = 0
+    rem = w
+    while True:
+        if rem & 1:
+            if acc is None:
+                if rem == 1:
+                    acc, ab = cur, cb         # cur IS the window sum
+                else:
+                    acc = free.pop(0)
+                    np.copyto(acc[:L], cur)
+                    ab = cb
+            else:
+                if ab + cb >= 1 << 64:
+                    _fold(acc[:L])
+                    ab = (1 << 61) + (ab >> 61) + 1
+                if ab + cb >= 1 << 64:
+                    _fold(cur[:L])
+                    cb = (1 << 61) + (cb >> 61) + 1
+                n = L - off - k + 1
+                np.add(acc[:n], cur[off : off + n], out=acc[:n])
+                ab += cb
+            off += k
+        rem >>= 1
+        if not rem:
+            break
+        if cb + cb >= 1 << 64:
+            _fold(cur[:L])
+            cb = (1 << 61) + (cb >> 61) + 1
+        dst = free.pop(0)
+        np.add(cur[: L - k], cur[k:L], out=dst[: L - k])
+        if cur is not acc:
+            free.append(cur)
+        cur, cb, k = dst, cb + cb, k * 2
+    if ab >= 1 << 62:
+        _fold(acc[:nv])                       # the 31-bit split needs < 2^62
+        ab = (1 << 61) + (ab >> 61) + 1
+    win = acc[:nv]
+
     # window hash = window sum · BASE^-(L-i-w): PIR[cap-L+w+i] = PI[L-w-i]
-    a1, a0 = C_hi[:nv], C_lo[:nv]
+    others = [b for b in (A, T, U) if b is not acc]
+    a1, a0 = others[0][:nv], others[1][:nv]
+    t0, t1 = t0[:nv], t1[:nv]
     np.right_shift(win, 31, out=a1)           # < 2^31
     np.bitwise_and(win, MASK31, out=a0)
     b1 = PIR1[cap - L + w : cap - L + w + nv]
     b0 = PIR0[cap - L + w : cap - L + w + nv]
-    m, r = S[:nv], A[:nv]
-    np.multiply(a1, b0, out=m)
-    np.multiply(a0, b1, out=t1)
-    m += t1                                   # < 2^63; fold-free rot ∀ m
+    # Karatsuba: cross = (a1+a0)(b1+b0) − a1b1 − a0b0 — three 64-bit
+    # products instead of four (the mul is the scalar-loop bottleneck;
+    # the two extra adds/subs are SIMD-cheap)
+    m, r = S[:nv], W[:nv]
+    ab11, ab00 = hi[:nv], lo[:nv]             # digit limb buffers are free
+    np.multiply(a1, b1, out=ab11)             # < 2^60
+    np.multiply(a0, b0, out=ab00)             # < 2^62
+    a1 += a0                                  # < 2^32
+    np.add(b1, b0, out=t1)                    # < 2^32
+    np.multiply(a1, t1, out=m)                # < 2^64
+    m -= ab11
+    m -= ab00                                 # cross < 2^62; fold-free rot
     np.right_shift(m, 30, out=r)
     m &= MASK30
     m <<= 31
     r += m                                    # mid: < 2^61+2^33
-    np.multiply(a1, b1, out=t1)
-    t1 <<= 1                                  # ·2^62 ≡ ·2; < 2^62
-    r += t1
-    np.multiply(a0, b0, out=t1)
-    r += t1                                   # + a0·b0 < 2^62; total < 2^63.6
+    ab11 <<= 1                                # ·2^62 ≡ 2·a1b1; < 2^61
+    r += ab11
+    r += ab00                                 # + a0·b0 < 2^62; total < 2^63.6
     np.right_shift(r, 61, out=t0)
     r &= M
     r += t0
@@ -373,7 +467,6 @@ def _fingerprint_batch(pdf: pd.DataFrame, text_col: str, window: int) -> pd.Data
     exercise it without a Spark session)."""
     import numpy as np
 
-    base_inv = pow(_FP_BASE, _FP_MOD - 2, _FP_MOD)
     doc_ids = pdf["doc_id"].to_numpy()
     bs = [t.encode("utf-8") if isinstance(t, str) else b"" for t in pdf[text_col]]
     lens = np.array([len(b) for b in bs], dtype=np.int64)
@@ -391,15 +484,11 @@ def _fingerprint_batch(pdf: pd.DataFrame, text_col: str, window: int) -> pd.Data
         group_len = (
             ne_ends[doc_bounds[1:] - 1] - ne_starts[doc_bounds[:-1]]
         )
-        cap = int(group_len.max())
         # uniform kernel indexes powers by chunk-global exponent → tables
-        # sized to the largest chunk, not the largest doc
-        P = _np_powmod_table(_FP_BASE, cap)
-        PI = _np_powmod_table(base_inv, cap)
-        PI1, PI0 = PI >> 31, PI & ((1 << 31) - 1)
-        PR = P[::-1].copy()
-        PIR1, PIR0 = PI1[::-1].copy(), PI0[::-1].copy()
-        sc = _FpScratch(cap)
+        # sized to the largest chunk, not the largest doc; cached across
+        # batches at the high-water capacity
+        tb = _FpTables.for_cap(int(group_len.max()))
+        cap, sc = tb.cap, tb.scratch
         has_short = ne_lens < window
         fps = np.empty(len(ne_lens), dtype=np.uint64)
         for g in range(len(first_doc)):
@@ -407,12 +496,13 @@ def _fingerprint_batch(pdf: pd.DataFrame, text_col: str, window: int) -> pd.Data
             b0, b1 = int(ne_starts[d0]), int(ne_ends[d1 - 1])
             if has_short[d0:d1].any():
                 fps[d0:d1] = _fp_kernel(
-                    S_all[b0:b1], ne_lens[d0:d1], window, P, PI1, PI0, sc
+                    S_all[b0:b1], ne_lens[d0:d1], window,
+                    tb.P, tb.PI1, tb.PI0, sc
                 )
             else:
                 fps[d0:d1] = _fp_kernel_uniform(
                     S_all[b0:b1], ne_lens[d0:d1], window,
-                    PR, PIR1, PIR0, cap, sc,
+                    tb.PR1, tb.PR0, tb.PIR1, tb.PIR0, cap, sc,
                 )
         out[nonempty] = fps.astype(np.int64)
     return pd.DataFrame({"doc_id": doc_ids, "fingerprint": out})

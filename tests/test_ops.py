@@ -487,3 +487,26 @@ def test_streaming_dedup_event_time(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 23
     assert out.select("content_digest").distinct().count() == 23
+
+
+def test_language_id_broad(spark):
+    """Each of the 12 marker languages must win on a sentence of its own
+    function words; mixed-language text resolves by marker count."""
+    samples = {
+        "it": "il libro che ho letto di recente era il migliore",
+        "pt": "era uma casa com muitas janelas para o mar",
+        "nl": "het huis van een vriend is het mooiste van allemaal",
+        "sv": "det var och att se det igen och igen",
+        "pl": "czy to jest dobre czy nie jest to zle",
+        "tr": "bu bir kitap ve bu bir kalem",
+        "id": "buku yang saya baca dan film itu bagus",
+        "ro": "acesta este un cadou din partea lor pentru tine",
+        "en": "the cat and the dog of the house",
+        "und": "xyzzy plugh 12345",
+    }
+    rows = [(i, t) for i, t in enumerate(samples.values())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in textstats.language_id(df).collect()}
+    for i, lang in enumerate(samples):
+        assert got[i] == lang, (lang, got[i])
