@@ -102,6 +102,25 @@ class ConstraintPlan:
     # (tools/plan_audit-style timing) — evaluation always goes through
     # `violations`, never through these
     parts: list[DataFrame] = field(default_factory=list)
+    # metrics each branch can emit (parallel to `parts`): callers that
+    # need a metric SUBSET (e.g. the incremental monotone tier) union only
+    # the branches that can contribute, skipping e.g. the per-subject
+    # flags aggregation entirely
+    part_metrics: list[frozenset] = field(default_factory=list)
+
+    def violations_for(self, metrics) -> DataFrame:
+        """Union of only the branches that can emit `metrics`, filtered —
+        branch pruning the optimizer can't do through the fused explode."""
+        from functools import reduce
+
+        want = frozenset(metrics)
+        keep = [part.filter(F.col("metric").isin(list(want)))
+                for part, ms in zip(self.parts, self.part_metrics)
+                if ms & want]
+        if not keep:
+            return self.violations.sparkSession.createDataFrame(
+                [], VIOLATIONS_SCHEMA)
+        return reduce(DataFrame.unionByName, keep)
 
     def unpersist(self) -> None:
         for df in [self.violations, *self.cached]:
@@ -198,18 +217,27 @@ def compile_data_constraints(
 
     shapes: list[ShapeSpec] = []
     parts: list[DataFrame] = []
+    part_metrics: list[frozenset] = []
+    # fused single-scan families: (metric, item_col, focus_col, value_col,
+    # condition). Every per-row filter family over the same base DF joins
+    # one of these lists and is emitted by ONE scan + explode instead of
+    # one union branch per family — at 100 TB that is 1 pass over the
+    # subject flags (resp. the triple table) instead of ~10 (resp. ~8).
+    flag_fams: list[tuple] = []   # over the per-subject flags aggregate
+    row_fams: list[tuple] = []    # over the triple table
 
     def add(metric: str, item: str | None, denom: str, denom_key: str | None = None):
         shapes.append(ShapeSpec(metric, item, denom, denom_key))
+
+    _ent = F.col("is_entity") & ~F.col("is_exempt")
+    _null = F.lit(None).cast("string")
 
     # ---- C1 UsageExternalURIEntities (template:1-10) ----------------------
     # Violation: interlinking value inside the dataset's own base URI.
     if cfg.base_uri:
         ilp = cfg.interlinking_property
-        parts.append(_v(
-            T.filter((p == ilp) & o.startswith(cfg.base_uri)),
-            "UsageExternalURIEntities", ilp, s, o,
-        ))
+        row_fams.append(("UsageExternalURIEntities", F.lit(ilp), s, o,
+                         (p == ilp) & o.startswith(cfg.base_uri)))
         add("UsageExternalURIEntities", cfg.interlinking_property,
             "subjects_per_property", cfg.interlinking_property)
 
@@ -217,31 +245,30 @@ def compile_data_constraints(
     # sh:pattern applies to the string form; blank-node focus nodes always
     # violate pattern constraints (observed in the pizza golden output:
     # the 3 bnodes are in the violation list).
-    parts.append(_v(
-        EnX.filter(F.col("s").contains("#") | F.col("s").startswith("_:")),
-        "UsageHashURIsEntities", None, F.col("s")))
+    flag_fams.append(("UsageHashURIsEntities", _null, F.col("s"), _null,
+                      _ent & (F.col("s").contains("#")
+                              | F.col("s").startswith("_:"))))
     add("UsageHashURIsEntities", None, "entities")
 
     # ---- C3 LabelForEntities (template:36-59): minCount 1 flag filter -----
-    parts.append(_v(EnX.filter(~F.col("has_label")),
-                    "LabelForEntities", None, F.col("s")))
+    flag_fams.append(("LabelForEntities", _null, F.col("s"), _null,
+                      _ent & ~F.col("has_label")))
     add("LabelForEntities", None, "entities")
 
     # ---- C4/C5 URI regex/space compliance (template:61-107, gated) --------
     if cfg.uri_regex_pattern:
-        parts.append(_v(
-            EnX.filter(F.col("s").startswith("_:")
-                       | ~F.col("s").rlike("^" + cfg.uri_regex_pattern)),
-            "URIRegexComplianceEntities", None, F.col("s")))
+        flag_fams.append(("URIRegexComplianceEntities", _null, F.col("s"), _null,
+                          _ent & (F.col("s").startswith("_:")
+                                  | ~F.col("s").rlike("^" + cfg.uri_regex_pattern))))
         add("URIRegexComplianceEntities", None, "entities")
     if cfg.uri_space:
-        parts.append(_v(EnX.filter(~F.col("s").startswith(cfg.uri_space)),
-                        "URISpaceComplianceEntities", None, F.col("s")))
+        flag_fams.append(("URISpaceComplianceEntities", _null, F.col("s"), _null,
+                          _ent & ~F.col("s").startswith(cfg.uri_space)))
         add("URISpaceComplianceEntities", None, "entities")
 
     # ---- C6 InterlinkingCompleteness (template:109-132) -------------------
-    parts.append(_v(EnX.filter(~F.col("has_ilp")),
-                    "InterlinkingCompleteness", None, F.col("s")))
+    flag_fams.append(("InterlinkingCompleteness", _null, F.col("s"), _null,
+                      _ent & ~F.col("has_ilp")))
     add("InterlinkingCompleteness", None, "entities")
 
     # ---- C7 SchemaCompletenessClassUsage (template:134-154) ---------------
@@ -262,24 +289,24 @@ def compile_data_constraints(
         missing = cls_df.join(F.broadcast(with_instances), "cls", "left_anti")
         parts.append(_v(missing, "SchemaCompletenessClassUsage",
                         F.col("cls"), F.col("cls")))
+        part_metrics.append(frozenset({"SchemaCompletenessClassUsage"}))
         for c in classes:
             add("SchemaCompletenessClassUsage", c.term, "binary")
 
     # ---- C8/C9 URI length / query params (template:156-202) ---------------
     # sh:maxLength also violates for blank-node focus nodes (SHACL spec:
     # maxLength fails for blank nodes; confirmed in the pizza golden).
-    parts.append(_v(
-        EnX.filter((F.length("s") > cfg.uris_max_length)
-                   | F.col("s").startswith("_:")),
-        "URIsLengthEntities", None, F.col("s")))
+    flag_fams.append(("URIsLengthEntities", _null, F.col("s"), _null,
+                      _ent & ((F.length("s") > cfg.uris_max_length)
+                              | F.col("s").startswith("_:"))))
     add("URIsLengthEntities", None, "entities")
-    parts.append(_v(EnX.filter(F.col("s").rlike(r"\?.+=.*")),
-                    "URIsParametersEntities", None, F.col("s")))
+    flag_fams.append(("URIsParametersEntities", _null, F.col("s"), _null,
+                      _ent & F.col("s").rlike(r"\?.+=.*")))
     add("URIsParametersEntities", None, "entities")
 
     # ---- C10 ProlixFeatures (template:204-234) -----------------------------
-    parts.append(_v(EnX.filter(F.col("is_prolix")),
-                    "ProlixFeatures", None, F.col("s")))
+    flag_fams.append(("ProlixFeatures", _null, F.col("s"), _null,
+                      _ent & F.col("is_prolix")))
     add("ProlixFeatures", None, "entities")
 
     # ---- C11/C12 DifferentLanguages* (template:236-284, gated) ------------
@@ -291,22 +318,22 @@ def compile_data_constraints(
         ):
             # subjects with >=1 untagged value of the property, minus the
             # exemption set (the target here is NOT restricted to entities)
-            bad = subj.filter(~F.col("is_exempt") & F.col(flag))
-            parts.append(_v(bad, metric, prop, F.col("s")))
+            flag_fams.append((metric, F.lit(prop), F.col("s"), _null,
+                              ~F.col("is_exempt") & F.col(flag)))
             add(metric, prop, "subjects_per_property", prop)
 
     # ---- C13/C15 SelfDescriptiveFormat + BlankNodesUsage (286-340) ---------
-    # Identical filter, two metrics: ONE scan fanned out twice.
-    bnode_entities = EnX.filter(F.col("s").startswith("_:"))
-    parts.append(_v(bnode_entities, "SelfDescriptiveFormat", None, F.col("s")))
-    parts.append(_v(bnode_entities, "BlankNodesUsageEntities", None, F.col("s")))
+    # Identical filter, two metrics: same fused scan, two entries.
+    _bn = _ent & F.col("s").startswith("_:")
+    flag_fams.append(("SelfDescriptiveFormat", _null, F.col("s"), _null, _bn))
+    flag_fams.append(("BlankNodesUsageEntities", _null, F.col("s"), _null, _bn))
     add("SelfDescriptiveFormat", None, "entities")
     add("BlankNodesUsageEntities", None, "entities")
 
     # ---- C14 SelfDescriptiveFormatProperties (310-316): per used property --
-    # targetObjectsOf <prop>: object must be IRI. One scan for all props.
-    non_iri = T.filter(F.col("o_kind") != "iri")
-    parts.append(_v(non_iri, "SelfDescriptiveFormatProperties", p, o))
+    # targetObjectsOf <prop>: object must be IRI.
+    row_fams.append(("SelfDescriptiveFormatProperties", p, o, _null,
+                     F.col("o_kind") != "iri"))
     for prop in sorted(used_props):
         add("SelfDescriptiveFormatProperties", prop, "binary")
 
@@ -324,6 +351,7 @@ def compile_data_constraints(
         both = ta.join(tb, "s").join(F.broadcast(pair_df), ["class_a", "class_b"], "semi")
         parts.append(_v(both, "EntitiesDisjointClasses",
                         F.concat_ws("|", "class_a", "class_b"), F.col("s")))
+        part_metrics.append(frozenset({"EntitiesDisjointClasses"}))
         for a, b in sorted(dpairs):
             add("EntitiesDisjointClasses", f"{a}|{b}", "entities_per_class", a)
 
@@ -335,46 +363,41 @@ def compile_data_constraints(
             .join(F.broadcast(prop_df), "term", "semi")
         )
         parts.append(_v(misplaced_p, "MisplacedProperties", F.col("term"), F.col("term")))
+        part_metrics.append(frozenset({"MisplacedProperties"}))
         for t in props:
             add("MisplacedProperties", t.term, "binary")
 
     # ---- C18 MisplacedClasses (363-386): class IRI used as predicate ------
     if classes:
-        cls_df2 = spark.createDataFrame([(c.term,) for c in classes], ["term"])
-        misplaced_c = (
-            T.select(F.col("p").alias("term"), "s")
-            .join(F.broadcast(cls_df2), "term", "semi")
-        )
-        parts.append(_v(misplaced_c, "MisplacedClasses", F.col("term"), F.col("s")))
+        row_fams.append(("MisplacedClasses", p, s, _null,
+                         p.isin([c.term for c in classes])))
         for c in classes:
             add("MisplacedClasses", c.term, "binary")
 
     # ---- C19/C20 Misuse of object/datatype properties (388-408) -----------
     used_obj = sorted(set(obj_props) & used_props)
     if used_obj:
-        parts.append(_v(
-            T.filter(p.isin(used_obj) & (F.col("o_kind") == "literal")),
-            "MisuseOwlObjectProperties", p, s, o))
+        row_fams.append(("MisuseOwlObjectProperties", p, s, o,
+                         p.isin(used_obj) & (F.col("o_kind") == "literal")))
         for prop in used_obj:
             add("MisuseOwlObjectProperties", prop, "subjects_per_property", prop)
     used_dt = sorted(set(dt_props) & used_props)
     if used_dt:
-        parts.append(_v(
-            T.filter(p.isin(used_dt) & (F.col("o_kind") != "literal")),
-            "MisuseOwlDatatypeProperties", p, s, o))
+        row_fams.append(("MisuseOwlDatatypeProperties", p, s, o,
+                         p.isin(used_dt) & (F.col("o_kind") != "literal")))
         for prop in used_dt:
             add("MisuseOwlDatatypeProperties", prop, "subjects_per_property", prop)
 
     # ---- C21 DeprecatedClasses (410-435): single binary shape -------------
     if depr_classes:
-        parts.append(_v(typing.filter(o.isin(depr_classes)),
-                        "DeprecatedClasses", None, s, o))
+        row_fams.append(("DeprecatedClasses", _null, s, o,
+                         (p == cfg.type_property) & o.isin(depr_classes)))
         add("DeprecatedClasses", None, "binary")
 
     # ---- C22 DeprecatedProperties (437-460): per deprecated prop ----------
     if depr_props:
-        parts.append(_v(T.filter(p.isin(depr_props)),
-                        "DeprecatedProperties", p, s))
+        row_fams.append(("DeprecatedProperties", p, s, _null,
+                         p.isin(depr_props)))
         for prop in sorted(depr_props):
             add("DeprecatedProperties", prop, "entities")  # const.py:76-86
 
@@ -390,6 +413,7 @@ def compile_data_constraints(
             .filter(F.col("n") > 1)
         )
         parts.append(_v(shared, "InverseFunctionalPropertyUniqueness", p, o))
+        part_metrics.append(frozenset({"InverseFunctionalPropertyUniqueness"}))
         for prop in ifp:
             add("InverseFunctionalPropertyUniqueness", prop, "binary")
 
@@ -403,6 +427,7 @@ def compile_data_constraints(
             .filter(F.col("n") > 1)
         )
         parts.append(_v(multi, "FunctionalProperty", p, s))
+        part_metrics.append(frozenset({"FunctionalProperty"}))
         for prop in fp:
             add("FunctionalProperty", prop, "subjects_per_property", prop)
 
@@ -418,14 +443,15 @@ def compile_data_constraints(
             "semi",
         )
         parts.append(_v(mutual, "AsymmetricProperty", p, s, o))
+        part_metrics.append(frozenset({"AsymmetricProperty"}))
         for prop in asym:
             add("AsymmetricProperty", prop, "subjects_per_property", prop)
 
     # ---- C31 IrreflexiveProperty (573-579): s==o loops ---------------------
     irr = sorted({t.term for t in props if t.irreflexive} & used_props)
     if irr:
-        parts.append(_v(T.filter(p.isin(irr) & (s == o)),
-                        "IrreflexiveProperty", p, s))
+        row_fams.append(("IrreflexiveProperty", p, s, _null,
+                         p.isin(irr) & (s == o)))
         for prop in irr:
             add("IrreflexiveProperty", prop, "subjects_per_property", prop)
 
@@ -439,6 +465,7 @@ def compile_data_constraints(
         typed_as = typing_ext.withColumnsRenamed({"o": "domain"})
         bad_dom = subj_prop.join(typed_as, ["s", "domain"], "left_anti")
         parts.append(_v(bad_dom, "CorrectDomain", p, s))
+        part_metrics.append(frozenset({"CorrectDomain"}))
     for t in dom_terms:
         # owl:Thing domain → nodeKind BlankNodeOrIRI, structurally satisfied
         # for RDF subjects (C27) — shape still instantiated, score 1.
@@ -477,9 +504,12 @@ def compile_data_constraints(
                 # object_property terms only (builder:330-336).
                 rng_cls.append(t)
     if rng_dt:
-        dt_df = spark.createDataFrame(
-            [(t.term, t.range) for t in rng_dt], ["p", "range"])
-        vals = T.join(F.broadcast(dt_df), "p")
+        # per-row range lookup as a chained CASE instead of a broadcast
+        # join — the dt-prop list is TBox-small, and CASE keeps the branch
+        # inside the fused single scan of T
+        rng_expr = F.lit(None).cast("string")
+        for t in rng_dt:
+            rng_expr = F.when(p == t.term, F.lit(t.range)).otherwise(rng_expr)
         # plain literals carry xsd:string (RDF 1.1); lang-tagged carry
         # rdf:langString. All in-repo parsers set o_dtype for lang-tagged
         # literals, but user-supplied triple DataFrames may leave it NULL —
@@ -491,28 +521,26 @@ def compile_data_constraints(
             F.lit(f"{XSD}string"),
         )
         is_langstring = F.when(
-            F.col("range") == RDF_LANGSTRING,
+            rng_expr == RDF_LANGSTRING,
             (F.col("o_kind") != "literal") | F.col("o_lang").isNull(),
         )
-        bad_rng_dt = vals.filter(
-            F.coalesce(
-                is_langstring,
-                (F.col("o_kind") != "literal")
-                | (eff_dtype != F.col("range"))
-                | ill_formed_literal(o, eff_dtype),
-            )
+        bad_dt_cond = p.isin([t.term for t in rng_dt]) & F.coalesce(
+            is_langstring,
+            (F.col("o_kind") != "literal")
+            | (eff_dtype != rng_expr)
+            | ill_formed_literal(o, eff_dtype),
         )
-        parts.append(_v(bad_rng_dt, "CorrectRange", p, s, o))
+        row_fams.append(("CorrectRange", p, s, o, bad_dt_cond))
         # Same physical violations, second metric (builder:361-362,440)
-        parts.append(_v(bad_rng_dt, "MalformedLiteral", p, s, o))
+        row_fams.append(("MalformedLiteral", p, s, o, bad_dt_cond))
     if rng_nk_literal:
         nk_terms = sorted(t.term for t in rng_nk_literal)
-        parts.append(_v(T.filter(p.isin(nk_terms) & (F.col("o_kind") != "literal")),
-                        "CorrectRange", p, s, o))
+        row_fams.append(("CorrectRange", p, s, o,
+                         p.isin(nk_terms) & (F.col("o_kind") != "literal")))
     if rng_nk_bi:
         bi_terms = sorted(t.term for t in rng_nk_bi)
-        parts.append(_v(T.filter(p.isin(bi_terms) & (F.col("o_kind") == "literal")),
-                        "CorrectRange", p, s, o))
+        row_fams.append(("CorrectRange", p, s, o,
+                         p.isin(bi_terms) & (F.col("o_kind") == "literal")))
     if rng_cls:
         cls_rng_df = spark.createDataFrame(
             [(t.term, t.range) for t in rng_cls], ["p", "range"])
@@ -520,13 +548,36 @@ def compile_data_constraints(
         typed_obj = typing_ext.select(F.col("s").alias("o"), F.col("o").alias("range"))
         bad_rng_cls = vals_c.join(typed_obj, ["o", "range"], "left_anti")
         parts.append(_v(bad_rng_cls, "CorrectRange", p, s, o))
+        part_metrics.append(frozenset({"CorrectRange"}))
     for t in rng_terms:
         add("CorrectRange", t.term, "subjects_per_property", t.term)
     for t in rng_dt:
         add("MalformedLiteral", t.term, "subjects_per_property", t.term)
 
+    # ---- emit the fused single-scan parts ---------------------------------
+    def _fused(base: DataFrame, fams: list[tuple]) -> DataFrame:
+        entries = [
+            F.when(cond, F.struct(
+                F.lit(metric).alias("metric"),
+                item.cast("string").alias("item"),
+                focus.cast("string").alias("focus"),
+                value.cast("string").alias("value"),
+            ))
+            for metric, item, focus, value, cond in fams
+        ]
+        return (base.select(F.explode(F.array_compact(F.array(*entries)))
+                            .alias("_f"))
+                .select("_f.metric", "_f.item", "_f.focus", "_f.value"))
+
+    if flag_fams:
+        parts.append(_fused(subj, flag_fams))
+        part_metrics.append(frozenset(f[0] for f in flag_fams))
+    if row_fams:
+        parts.append(_fused(T, row_fams))
+        part_metrics.append(frozenset(f[0] for f in row_fams))
+
     violations = reduce(DataFrame.unionByName, parts) if parts else (
         spark.createDataFrame([], VIOLATIONS_SCHEMA)
     )
     return ConstraintPlan(violations=violations, shapes=shapes, cached=[subj],
-                          parts=parts)
+                          parts=parts, part_metrics=part_metrics)

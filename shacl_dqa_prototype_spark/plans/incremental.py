@@ -253,9 +253,10 @@ def delta_monotone_violations(
         used_props={t.term for t in safe if t.term_kind != "class"},
         used_classes=set(),
     )
-    # constant-folding prunes every non-selected union branch to an empty
-    # LocalRelation — no flag aggregation or anti-join is ever executed
-    return plan.violations.filter(F.col("metric").isin(list(MONOTONE_METRICS)))
+    # violations_for unions ONLY the branches that can emit monotone
+    # metrics — the per-subject flags aggregation and the anti-join
+    # branches are never executed for a delta
+    return plan.violations_for(MONOTONE_METRICS)
 
 
 def _changed_buckets(df: DataFrame, key: str, n_buckets: int) -> list[int]:
