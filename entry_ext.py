@@ -657,6 +657,21 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return redact_pii(d)
     q["pipe_redact_pii"] = pipe_redact
 
+    def pipe_shuffle(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.pipeline import global_shuffle
+
+        d = _docs_flat(spark, sf_dir).select("doc_id", "lang")
+        return global_shuffle(d, n_shards=8, seed=42)
+    q["pipe_global_shuffle"] = pipe_shuffle
+
+    def text_rep(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import (
+            repetition_stats,
+        )
+
+        return repetition_stats(_docs_flat(spark, sf_dir))
+    q["text_repetition"] = text_rep
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -1066,6 +1081,42 @@ def ext_oracles() -> dict[str, str]:
         '\+[0-9][0-9()\-. ]{5,18}[0-9]|\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
     FROM documents"""
+
+    # global shuffle: same md5-nibble uniform as the stratified sample,
+    # shard = first 16 bits mod 8, pos = rank of the full 32-hex key
+    o["pipe_global_shuffle"] = f"""
+    WITH x AS (
+      SELECT doc_id, lang, md5(concat('42', '|', CAST(doc_id AS VARCHAR))) AS h
+      FROM documents),
+    s AS (SELECT doc_id, lang, h, CAST(({_u16}) % 8 AS INT) AS shard FROM x)
+    SELECT doc_id, lang, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS INT) AS pos
+    FROM s"""
+
+    # repetition profile re-derived the distributed-groupBy way (the Spark
+    # side is a per-row array fold — different plan, same values)
+    o["text_repetition"] = """
+    WITH w AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents),
+    u AS (SELECT doc_id, unnest(l) AS word FROM w),
+    wc AS (SELECT doc_id, word, count(*) AS c FROM u GROUP BY 1, 2),
+    wa AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+      FROM wc GROUP BY 1),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i+1])) AS b
+      FROM w),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    ba AS (SELECT doc_id, max(c) AS top, sum(c) AS nb FROM bc GROUP BY 1)
+    SELECT wa.doc_id, wa.n_words,
+           CASE WHEN wa.n_words > 0 THEN dup * 1.0 / wa.n_words
+                ELSE 0.0 END AS dup_word_frac,
+           coalesce(ba.top * 1.0 / ba.nb, 0.0) AS top_bigram_frac
+    FROM wa LEFT JOIN ba USING (doc_id)"""
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

@@ -98,3 +98,32 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for pattern, token in PII_PATTERNS:
         t = F.regexp_replace(t, pattern, token)
     return docs.select("doc_id", t.alias("redacted"))
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int = 1024,
+    key_col: str = "doc_id",
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic, reproducible global shuffle for training-batch order:
+    every row gets a (shard, pos) placement drawn from md5(seed|key), the
+    same on ANY cluster size and on re-runs — preemptions and resumed jobs
+    see identical batch order, and changing ``seed`` reshuffles the whole
+    corpus without touching the data.
+
+    Scale shape: ONE shuffle (the per-shard row_number window); shards are
+    mutually independent, so parallelism = n_shards and no global sort /
+    single-partition bottleneck exists. The hash is md5-derived (not
+    xxhash64) for exact portability to the SQL oracle — at 16 hex chars the
+    order is collision-free in practice and ties fall back to the key."""
+    h = F.md5(F.concat_ws(
+        "|", F.lit(str(seed)), F.col(key_col).cast("string")))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("h")
+    )

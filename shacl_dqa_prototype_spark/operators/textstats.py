@@ -506,3 +506,53 @@ def _fingerprint_batch(pdf: pd.DataFrame, text_col: str, window: int) -> pd.Data
                 )
         out[nonempty] = fps.astype(np.int64)
     return pd.DataFrame({"doc_id": doc_ids, "fingerprint": out})
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted to single-line docs): per document,
+
+    - ``dup_word_frac``   — fraction of word occurrences whose word appears
+      more than once in the document,
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram as
+      a fraction of all bigram positions.
+
+    Scale shape: ZERO shuffles — both signals only need the row's own
+    words, so they are computed with higher-order array expressions
+    (array_sort + run-length fold), O(n log n) per row, map-side only,
+    whole-stage codegen. The distributed-groupBy formulation (explode →
+    groupBy(doc, word)) would shuffle every token; this never leaves the
+    row. Reference scope: quality filtering is part of the training-data
+    pipeline suite, not the rdflib reference."""
+    t = F.col(text_col)
+    d = docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim(t), r"\s+")).alias("w"))
+    d = d.withColumn("n", F.size("w")).withColumn("sw", F.array_sort("w"))
+    # words appearing exactly once = positions in the sorted array that
+    # differ from both neighbours; dup occurrences = n - singles
+    d = d.withColumn("n_single", F.expr(
+        "size(filter(sequence(0, n - 1), i -> "
+        "(i = 0 OR sw[i] != sw[i-1]) AND (i = n - 1 OR sw[i] != sw[i+1])))"))
+    # longest run in the sorted bigram list = max bigram multiplicity
+    d = d.withColumn("bg", F.expr(
+        "array_sort(transform(sequence(1, n - 1), i -> "
+        "concat(w[i-1], ' ', w[i])))"))
+    d = d.withColumn("top_bg", F.expr(
+        "aggregate(bg, struct(cast(null as string) as prev, "
+        "0L as run, 0L as best), "
+        "(acc, x) -> struct(x as prev, "
+        "IF(x = acc.prev, acc.run + 1, 1L) as run, "
+        "greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1L)) as best), "
+        "acc -> acc.best)"))
+    n = F.col("n").cast("double")
+    n_bg = F.greatest(F.col("n") - 1, F.lit(0)).cast("double")
+    return d.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        F.when(F.col("n") > 0, (n - F.col("n_single")) / n)
+        .otherwise(0.0).alias("dup_word_frac"),
+        F.when(F.col("n") > 1, F.col("top_bg") / n_bg)
+        .otherwise(0.0).alias("top_bigram_frac"),
+    )

@@ -73,6 +73,30 @@ def test_exact_dedup_is_one_aggregation(spark, contract):
     assert "partial_" in s
 
 
+def test_constraint_compiler_is_fused(spark):
+    """Lock in the fused constraint compiler (r3): every per-row filter
+    family folds into exactly TWO scan+explode branches — one over the
+    per-subject flags aggregate, one over the triple table — so the full
+    violations union stays bounded (≤ 10 branches) no matter how many
+    metrics the vocab induces. A refactor that quietly re-expands a family
+    back into its own union branch (= its own scan of T at 100 TB) fails
+    here before it shows up as a bench regression."""
+    import __spark_entry__ as e
+    from shacl_dqa_prototype_spark.plans.constraints import (
+        compile_data_constraints,
+    )
+
+    plan = compile_data_constraints(
+        e._triples(spark, SF), e.ENTRY_VOCAB, e.ENTRY_DISJOINT, e.ENTRY_CFG)
+    metrics = set().union(*plan.part_metrics)
+    assert len(metrics) >= 20, "vocab should induce many metric families"
+    assert len(plan.parts) <= 10, (
+        f"{len(plan.parts)} union branches — fusion regressed")
+    s = _explain(spark, plan.violations)
+    assert _op_count(s, "Generate") == 2, "expected exactly 2 fused explodes"
+    assert "BatchEvalPython" not in s
+
+
 # Representative slice of every operator family; kept small enough that the
 # sweep stays under ~2 min of plan-building.
 SWEEP = [
