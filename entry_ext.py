@@ -701,7 +701,53 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["incremental_dqa_asymmetric"] = _incremental(
         "core", "AsymmetricProperty")
 
+    # --- STREAMING DQA: the same corpus arrives as a triple STREAM and is
+    # folded into the incremental state per microbatch (foreachBatch →
+    # apply_delta, (run, epoch)-idempotent). Shares the batch family oracle.
+    def streaming_dqa(spark, sf_dir):
+        v = _streaming_dqa_violations(spark, sf_dir)
+        return (v.filter(F.col("metric") == "LabelForEntities")
+                .select("focus").distinct())
+    q["streaming_dqa_label"] = streaming_dqa
+
     return q
+
+
+_SDQA_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _streaming_dqa_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violations derived from a state built ENTIRELY by the streaming DQA
+    path: the core triple view is landed as parquet appends, drained with
+    availableNow, and every constraint family is read back off the state."""
+    key = (id(spark), sf_dir)
+    if key not in _SDQA_CACHE:
+        import tempfile
+
+        import __spark_entry__ as core
+        from shacl_dqa_prototype_spark.plans.incremental import (
+            IncrementalDQAState,
+            violations_from_state,
+        )
+        from shacl_dqa_prototype_spark.streaming.ingest import (
+            start_streaming_dqa,
+        )
+
+        T = core._triples(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="sdqa_")
+        in_dir = os.path.join(base, "in")
+        split = F.abs(F.xxhash64("s")) % 2 == 0
+        T.filter(split).write.mode("append").parquet(in_dir)
+        T.filter(~split).write.mode("append").parquet(in_dir)
+        state = IncrementalDQAState.open(spark, os.path.join(base, "state"))
+        start_streaming_dqa(
+            spark, in_dir, state, core.ENTRY_CFG, core.ENTRY_VOCAB,
+            checkpoint_dir=os.path.join(base, "ckpt"), n_buckets=8,
+        ).awaitTermination()
+        _SDQA_CACHE[key] = violations_from_state(
+            state, core.ENTRY_VOCAB, core.ENTRY_CFG,
+            disjoint_pairs=core.ENTRY_DISJOINT).cache()
+    return _SDQA_CACHE[key]
 
 
 _INC_V_CACHE: dict[tuple[int, str, str], DataFrame] = {}

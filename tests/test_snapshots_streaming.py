@@ -280,3 +280,59 @@ def test_streaming_snapshot_epoch_keyed_per_run(spark, tmp_path):
         spark, in2, t, str(tmp_path / "ck2"))
     q2.awaitTermination(120)
     assert t.read().count() == exp1 + exp2
+
+
+def test_streaming_dqa_matches_batch_and_is_drain_idempotent(spark, tmp_path):
+    """Continuous DQA: a triple stream folded into the incremental state via
+    start_streaming_dqa must yield EXACTLY the batch compiler's violations
+    for every state-derivable family — and draining the same checkpoint a
+    second time must commit nothing (end-to-end exactly-once)."""
+    import __spark_entry__ as core
+    from shacl_dqa_prototype_spark.plans.constraints import (
+        compile_data_constraints,
+    )
+    from shacl_dqa_prototype_spark.plans.incremental import (
+        IncrementalDQAState,
+        violations_from_state,
+    )
+    from shacl_dqa_prototype_spark.streaming.ingest import start_streaming_dqa
+    from tests.test_incremental import DERIVABLE
+
+    T = core._triples(spark, "/root/testdata/sf0.001")
+    in_dir = str(tmp_path / "in")
+    split = F.abs(F.xxhash64("s")) % 2 == 0
+    T.filter(split).write.mode("append").parquet(in_dir)
+    T.filter(~split).write.mode("append").parquet(in_dir)
+
+    state = IncrementalDQAState.open(spark, str(tmp_path / "state"))
+    start_streaming_dqa(
+        spark, in_dir, state, core.ENTRY_CFG, core.ENTRY_VOCAB,
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+    ).awaitTermination(180)
+
+    inc = violations_from_state(
+        state, core.ENTRY_VOCAB, core.ENTRY_CFG,
+        disjoint_pairs=core.ENTRY_DISJOINT)
+    batch = compile_data_constraints(
+        T, core.ENTRY_VOCAB, core.ENTRY_DISJOINT, core.ENTRY_CFG).violations
+    cols = ["metric", "item", "focus", "value"]
+    inc_set = {tuple(r) for r in
+               inc.filter(F.col("metric").isin(DERIVABLE))
+               .select(*cols).distinct().collect()}
+    batch_set = {tuple(r) for r in
+                 batch.filter(F.col("metric").isin(DERIVABLE))
+                 .select(*cols).distinct().collect()}
+    assert inc_set == batch_set
+
+    # drain the SAME checkpoint again: no new input files -> no epoch runs,
+    # and even a replayed epoch would be skipped by its delta_id — every
+    # state table's snapshot log must be unchanged
+    before = {t: len(getattr(state, t).snapshots())
+              for t in ("subj_flags", "ps_counts", "cls_pairs", "po_pairs",
+                        "dom_pairs", "spo_pairs", "mono_violations")}
+    start_streaming_dqa(
+        spark, in_dir, state, core.ENTRY_CFG, core.ENTRY_VOCAB,
+        checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
+    ).awaitTermination(180)
+    after = {t: len(getattr(state, t).snapshots()) for t in before}
+    assert after == before
