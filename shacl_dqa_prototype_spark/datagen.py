@@ -25,10 +25,7 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from shacl_dqa_prototype_spark.schemas import (
-    DOCUMENTS_SCHEMA,
-    ENTITY_DICTIONARY_SCHEMA,
-)
+from shacl_dqa_prototype_spark.schemas import DOCUMENTS_SCHEMA
 
 EX = "http://example.org/"
 P_TOPPING = f"{EX}prop/topping"
@@ -207,20 +204,45 @@ def expected_triples(spark: SparkSession, cfg: GenConfig, partitions: int | None
 
 
 def entity_dictionary(spark: SparkSession, cfg: GenConfig) -> DataFrame:
-    """Linking candidate dictionary (FIXTURES.md §5) — tiny, broadcast side.
+    """Linking candidate dictionary (FIXTURES.md §5) — broadcast side.
 
     Canonical surfaces are unambiguous (prior 1.0). Alias surfaces ``E{i}``
     are deliberately ambiguous between entity i (prior 0.6) and a decoy
-    entity (prior 0.4) so the disambiguation join has real work to do."""
-    rows = []
+    entity (prior 0.4) so the disambiguation join has real work to do.
+
+    Generated DISTRIBUTED (spark.range + JVM expressions, 5 rows per
+    entity id): a driver-side row list was the old path, and at 8M-doc
+    bench scale (400k entities → 2M rows) it serialized ~57 MB into every
+    task binary — the classic local-relation-in-task-closure smell the
+    DAGScheduler warns about. Same rows, same values, zero driver memory."""
+    from pyspark.sql import functions as F
+
     n = cfg.n_entities
-    for i in range(n):
-        rows.append((canonical_surface(i), entity_iri(i), 1.0))
-        rows.append((dup_surface(i), dup_iri(i), 1.0))
-        rows.append((place_surface(i), place_iri(i), 1.0))
-        rows.append((alias_surface(i), entity_iri(i), 0.6))
-        rows.append((alias_surface(i), entity_iri((i + 7) % n), 0.4))
-    return spark.createDataFrame(rows, schema=ENTITY_DICTIONARY_SCHEMA)
+    i = F.col("id").cast("string")
+    pad = F.lpad(i, 6, "0")
+    decoy_pad = F.lpad(((F.col("id") + 7) % n).cast("string"), 6, "0")
+    ent = F.concat(F.lit(f"{EX}entity/"), pad)
+
+    def _row(surface, candidate, prior):
+        return F.struct(surface.alias("surface"),
+                        candidate.alias("candidate"),
+                        F.lit(prior).cast("double").alias("prior"))
+
+    rows = F.array(
+        _row(F.concat(F.lit("Entity "), i), ent, 1.0),
+        _row(F.concat(F.lit("Duplicate "), i),
+             F.concat(F.lit(f"{EX}dup/"), pad), 1.0),
+        _row(F.concat(F.lit("Place "), i),
+             F.concat(F.lit(f"{EX}place/"), pad), 1.0),
+        _row(F.concat(F.lit("E"), i), ent, 0.6),
+        _row(F.concat(F.lit("E"), i),
+             F.concat(F.lit(f"{EX}entity/"), decoy_pad), 0.4),
+    )
+    return (
+        spark.range(0, n, numPartitions=max(1, n // 200_000))
+        .select(F.explode(rows).alias("r"))
+        .select("r.surface", "r.candidate", "r.prior")
+    )
 
 
 def canonical_map_truth(cfg: GenConfig) -> dict[str, str]:
