@@ -246,6 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return prof.entities_per_class.select("cls", F.col("num_instances").cast("long"))
     q["profile_entities_per_class"] = entities_per_class
 
+    def profile_degree(spark, sf_dir):
+        from shacl_dqa_prototype_spark.plans.profile import degree_topk
+
+        return degree_topk(_triples(spark, sf_dir), k=20)
+    q["profile_degree_topk"] = profile_degree
+
     # --- C: constraint operators (real compiled plan vs oracle) -----------
     q["shape_functional_property"] = (
         lambda s, d: _violations(s, d, "FunctionalProperty", with_item=True))
@@ -417,6 +423,19 @@ def oracle_sql() -> dict[str, str]:
     o["profile_entities_per_class"] = f"""{t}
     SELECT o AS cls, count(DISTINCT s) AS num_instances
     FROM triples WHERE p = 'rdf:type' GROUP BY o"""
+
+    o["profile_degree_topk"] = f"""{t}
+    , deg AS (
+      SELECT node, CAST(sum(od) AS BIGINT) AS out_degree,
+             CAST(sum(id_) AS BIGINT) AS in_degree
+      FROM (
+        SELECT s AS node, 1 AS od, 0 AS id_ FROM triples
+        UNION ALL
+        SELECT o, 0, 1 FROM triples WHERE o_kind = 'iri') n
+      GROUP BY node)
+    SELECT node, out_degree, in_degree,
+           out_degree + in_degree AS degree
+    FROM deg ORDER BY degree DESC, node LIMIT 20"""
 
     o["shape_functional_property"] = """
     SELECT 'urn:p:hasSupplier' AS item, concat('urn:order:', l_orderkey) AS focus

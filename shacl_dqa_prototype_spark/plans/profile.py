@@ -99,3 +99,29 @@ def infer_namespace(T: DataFrame) -> str:
         .first()
     )
     return row["ns"] if row else ""
+
+
+def degree_topk(T: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k graph nodes by degree (out = triples as subject, in = triples
+    as IRI object), ties broken by node id — the connectivity profile a KG
+    operator reads before picking skew mitigations (the hot node list IS
+    the salting candidate list for joins against the graph).
+
+    Scale shape: one union scan → one groupBy(node) shuffle with map-side
+    partial sums → TakeOrdered(k) (per-partition top-k then a k-sized
+    driver merge, never a global sort)."""
+    nodes = T.select(
+        F.col("s").alias("node"), F.lit(1).alias("od"), F.lit(0).alias("id_"),
+    ).unionByName(
+        T.filter(F.col("o_kind") == "iri").select(
+            F.col("o").alias("node"), F.lit(0).alias("od"),
+            F.lit(1).alias("id_"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.sum("od").cast("long").alias("out_degree"),
+             F.sum("id_").cast("long").alias("in_degree"))
+        .withColumn("degree", (F.col("out_degree") + F.col("in_degree")))
+        .orderBy(F.desc("degree"), F.asc("node"))
+        .limit(k)
+    )

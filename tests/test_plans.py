@@ -100,13 +100,14 @@ def test_constraint_compiler_is_fused(spark):
 # Representative slice of every operator family; kept small enough that the
 # sweep stays under ~2 min of plan-building.
 SWEEP = [
-    "profile_scalars", "profile_entities_per_class",
+    "profile_scalars", "profile_entities_per_class", "profile_degree_topk",
     "shape_functional_property", "shape_correct_range_class",
     "shape2_misplaced_props", "dqa_scores", "dqa2_meta_rollup",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_neardup",
     "sim_topk_cosine", "sim_ann_ivf",
     "text_token_count", "text_fingerprint",
     "pipe_pack_sequences", "pipe_stratified_sample", "pipe_redact_pii",
+    "pipe_global_shuffle", "text_repetition",
     "kg_extract_mentions", "kg_link_entities", "kg_media_features",
     "events_sessionize", "rdf_ntriples_roundtrip",
 ]
