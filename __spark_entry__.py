@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = lambda s, d: textstats.quality_score(_docs(s, d))
 
     q["text_langid"] = lambda s, d: textstats.language_id(_docs(s, d))
+    q["text_length_profile"] = (
+        lambda s, d: textstats.length_profile(_docs(s, d)))
 
     def sim_topk(spark, sf_dir):
         emb = _emb(spark, sf_dir)
@@ -579,6 +581,17 @@ def oracle_sql() -> dict[str, str]:
                 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
     FROM documents"""
+
+    o["text_length_profile"] = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_len,
+           CAST(max(n_chars) AS BIGINT) AS max_len,
+           sum(n_chars) * 1.0 / count(*) AS mean_len,
+           quantile_cont(n_chars, 0.5) AS p50_len,
+           quantile_cont(n_chars, 0.9) AS p90_len,
+           quantile_cont(n_chars, 0.99) AS p99_len
+    FROM documents GROUP BY source"""
 
     o["text_quality"] = r"""
     WITH x AS (

@@ -556,3 +556,40 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.col("n") > 1, F.col("top_bg") / n_bg)
         .otherwise(0.0).alias("top_bigram_frac"),
     )
+
+
+def length_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    length_col: str = "n_chars",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group document-length profile: count, min/max, mean, and the
+    p50/p90/p99 length percentiles — the numbers a packing / truncation
+    config is derived from.
+
+    ``exact=True`` uses the exact `percentile` aggregate (sort-buffered per
+    group — fine when groups are few and bounded, and value-identical to
+    the SQL oracle's quantile_cont). At 100 TB with high-cardinality
+    groups, pass ``exact=False``: `approx_percentile` (t-digest style
+    sketch, bounded memory, mergeable map-side) — the standard
+    exactness/scale trade, chosen by the caller."""
+    ln = F.col(length_col).cast("long")
+    pct = (F.percentile(ln, F.lit([0.5, 0.9, 0.99])) if exact
+           else F.approx_percentile(ln, F.lit([0.5, 0.9, 0.99]), F.lit(10000)))
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(ln).alias("min_len"),
+            F.max(ln).alias("max_len"),
+            (F.sum(ln) / F.count("*")).alias("mean_len"),
+            pct.alias("_p"),
+        )
+        .select(
+            group_col, "n_docs", "min_len", "max_len", "mean_len",
+            F.col("_p")[0].cast("double").alias("p50_len"),
+            F.col("_p")[1].cast("double").alias("p90_len"),
+            F.col("_p")[2].cast("double").alias("p99_len"),
+        )
+    )

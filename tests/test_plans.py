@@ -107,7 +107,7 @@ SWEEP = [
     "sim_topk_cosine", "sim_ann_ivf",
     "text_token_count", "text_fingerprint",
     "pipe_pack_sequences", "pipe_stratified_sample", "pipe_redact_pii",
-    "pipe_global_shuffle", "text_repetition",
+    "pipe_global_shuffle", "text_repetition", "text_length_profile",
     "kg_extract_mentions", "kg_link_entities", "kg_media_features",
     "events_sessionize", "rdf_ntriples_roundtrip",
 ]
