@@ -814,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
     # (+ the monotone log), so those entries share the batch oracles
     o["incremental_dqa_label"] = o["shape_label_for_entities"]
     o["streaming_dqa_label"] = o["shape_label_for_entities"]
+    o["incremental_dqa_scores"] = o["dqa_scores"]
     o["incremental_dqa_range_cls"] = o["shape_correct_range_class"]
     o["incremental_dqa_disjoint"] = o["shape_disjoint_classes"]
     o["incremental_dqa_asymmetric"] = o["shape_asymmetric"]

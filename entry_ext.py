@@ -701,6 +701,24 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["incremental_dqa_asymmetric"] = _incremental(
         "core", "AsymmetricProperty")
 
+    # the full SCORED report re-derived from state alone (violations,
+    # denominators, shape specs — no triple scan); same filter/columns as
+    # the batch dqa_scores entry, whose oracle it shares
+    def inc_scores(spark, sf_dir):
+        from shacl_dqa_prototype_spark.plans.incremental import (
+            score_from_state,
+        )
+
+        state, cfg, vocab, disjoint = _inc_state(spark, sf_dir, "core")
+        rep = score_from_state(state, vocab, cfg, disjoint_pairs=disjoint)
+        return rep.filter(
+            F.col("metric").isin("FunctionalProperty", "LabelForEntities",
+                                 "UsageHashURIsEntities")
+            & (F.col("score_kind") != "meta")
+        ).select("metric", "item", F.round("measure", 6).alias("measure"),
+                 "num_violations")
+    q["incremental_dqa_scores"] = inc_scores
+
     # --- STREAMING DQA: the same corpus arrives as a triple STREAM and is
     # folded into the incremental state per microbatch (foreachBatch →
     # apply_delta, (run, epoch)-idempotent). Shares the batch family oracle.
@@ -750,23 +768,23 @@ def _streaming_dqa_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _SDQA_CACHE[key]
 
 
+_INC_STATE_CACHE: dict[tuple[int, str, str], tuple] = {}
 _INC_V_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def _inc_violations(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
-    """State-derived violations over the core or T2 corpus, built by TWO
-    apply_delta appends into a fresh state dir — cached per
-    (session, sf_dir, corpus) so the seven incremental contract entries
-    fold the corpus once, not once each."""
+def _inc_state(spark: SparkSession, sf_dir: str, which: str) -> tuple:
+    """(state, cfg, vocab, disjoint) over the core or T2 corpus, built by
+    TWO apply_delta appends into a fresh state dir — cached per
+    (session, sf_dir, corpus) so the incremental contract entries fold the
+    corpus once, not once each."""
     key = (id(spark), sf_dir, which)
-    if key not in _INC_V_CACHE:
+    if key not in _INC_STATE_CACHE:
         import tempfile
 
         import __spark_entry__ as core
         from shacl_dqa_prototype_spark.plans.incremental import (
             IncrementalDQAState,
             apply_delta,
-            violations_from_state,
         )
 
         if which == "core":
@@ -782,6 +800,19 @@ def _inc_violations(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
                     n_buckets=8, delta_id="d1")
         apply_delta(state, T.filter(~split), cfg, vocab,
                     n_buckets=8, delta_id="d2")
+        _INC_STATE_CACHE[key] = (state, cfg, vocab, disjoint)
+    return _INC_STATE_CACHE[key]
+
+
+def _inc_violations(spark: SparkSession, sf_dir: str, which: str) -> DataFrame:
+    """State-derived violations, cached per (session, sf_dir, corpus)."""
+    key = (id(spark), sf_dir, which)
+    if key not in _INC_V_CACHE:
+        from shacl_dqa_prototype_spark.plans.incremental import (
+            violations_from_state,
+        )
+
+        state, cfg, vocab, disjoint = _inc_state(spark, sf_dir, which)
         _INC_V_CACHE[key] = violations_from_state(
             state, vocab, cfg, disjoint_pairs=disjoint).cache()
     return _INC_V_CACHE[key]

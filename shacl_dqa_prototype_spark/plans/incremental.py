@@ -602,3 +602,56 @@ def violations_from_state(
     from functools import reduce
 
     return reduce(DataFrame.unionByName, parts)
+
+
+def score_from_state(
+    state: IncrementalDQAState,
+    vocab_terms: list[VocabTerm],
+    cfg: DQAConfig,
+    disjoint_pairs: list[tuple[str, str]] | None = None,
+    subclass_pairs: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """The FULL DQA report (per-shape scores + meta rollup) maintained from
+    incremental state: violations via violations_from_state, denominators
+    via profile_from_state, and the shape-spec list from the batch compiler
+    invoked over an EMPTY triple frame with state-derived usage sets — plan
+    construction is lazy, so no triple scan ever runs. This closes the
+    loop: appends fold into state (apply_delta / start_streaming_dqa) and
+    the scored report is re-derived from state alone, bit-equal to the
+    batch run_data_dqa (asserted in tests and by the shared oracle)."""
+    from shacl_dqa_prototype_spark.plans.constraints import ConstraintPlan
+    from shacl_dqa_prototype_spark.plans.profile import GraphProfile
+    from shacl_dqa_prototype_spark.plans.scoring import score_plan
+    from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
+
+    ps = state.ps_counts.read()
+    spark = ps.sparkSession
+    used_props = {r["p"] for r in ps.select("p").distinct().collect()}
+    used_classes = {r["cls"] for r in
+                    state.cls_pairs.read().select("cls").distinct().collect()}
+    shapes = compile_data_constraints(
+        spark.createDataFrame([], TRIPLES_SCHEMA), vocab_terms,
+        disjoint_pairs or [], cfg,
+        used_props=used_props, used_classes=used_classes,
+        subclass_pairs=subclass_pairs,
+    ).shapes
+
+    prof = profile_from_state(state)
+    row = prof["scalars"].first()
+    profile = GraphProfile(
+        num_triples=row["num_triples"] or 0,
+        num_classes=row["num_classes"] or 0,
+        num_entities=row["num_entities"] or 0,
+        num_properties=row["num_properties"] or 0,
+        num_entities_interlinking=row["num_entities_interlinking"] or 0,
+        num_entities_label=row["num_entities_label"] or 0,
+        num_entities_description=row["num_entities_description"] or 0,
+        triples_per_property=prof["triples_per_property"],
+        subjects_per_property=prof["subjects_per_property"],
+        entities_per_class=prof["entities_per_class"],
+    )
+    violations = violations_from_state(
+        state, vocab_terms, cfg,
+        disjoint_pairs=disjoint_pairs, subclass_pairs=subclass_pairs)
+    plan = ConstraintPlan(violations=violations, shapes=shapes)
+    return score_plan(spark, plan, profile, target="data")

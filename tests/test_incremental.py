@@ -162,3 +162,27 @@ def test_merge_commits_rewrite_only_touched_buckets(spark, tmp_path):
     # and the merged view is still exact
     assert (state.ps_counts.read().agg(F.sum("n")).first()[0]
             == big.unionByName(one).count())
+
+
+def test_incremental_scores_match_batch_report(spark, tmp_path):
+    """score_from_state must reproduce the ENTIRE batch report — every
+    shape row and the meta rollup, scores and violation counts — from
+    state alone (no triple scan)."""
+    from shacl_dqa_prototype_spark.plans.dqa import run_data_dqa
+    from shacl_dqa_prototype_spark.plans.incremental import score_from_state
+
+    T = core._triples(spark, SF)
+    state = _fold_in_two(spark, tmp_path, T)
+    inc = score_from_state(state, core.ENTRY_VOCAB, core.ENTRY_CFG,
+                           disjoint_pairs=core.ENTRY_DISJOINT)
+    batch = run_data_dqa(T, core.ENTRY_VOCAB, core.ENTRY_DISJOINT,
+                         core.ENTRY_CFG)
+    cols = ["target", "dimension", "metric", "item", "score_kind",
+            "measure", "num_violations"]
+    def _key(t):
+        return tuple((x is None, x) for x in t)
+
+    inc_rows = sorted((tuple(r) for r in inc.select(*cols).collect()), key=_key)
+    batch_rows = sorted((tuple(r) for r in batch.select(*cols).collect()),
+                        key=_key)
+    assert inc_rows == batch_rows
