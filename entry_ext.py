@@ -1155,17 +1155,20 @@ def ext_oracles() -> dict[str, str]:
                '@example.com or +1 (555) 123-4567 at 192.168.0.',
                CAST(doc_id % 255 AS VARCHAR)),
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        '\+[0-9][0-9()\-. ]{5,18}[0-9]|\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+        '\+[0-9]([()\-. ]{0,2}[0-9]){6,14}|\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted
     FROM documents"""
 
-    # global shuffle: same md5-nibble uniform as the stratified sample,
-    # shard = first 16 bits mod 8, pos = rank of the full 32-hex key
+    # global shuffle: same md5-nibble construction as the stratified
+    # sample but over the first 8 hex chars (32 bits) — matches the Spark
+    # side's conv(substring(h,1,8),16,10); pos = rank of the full digest
+    _u32 = " + ".join(_nib.format(i=i + 1) + f"*{16 ** (7 - i)}"
+                      for i in range(8))
     o["pipe_global_shuffle"] = f"""
     WITH x AS (
       SELECT doc_id, lang, md5(concat('42', '|', CAST(doc_id AS VARCHAR))) AS h
       FROM documents),
-    s AS (SELECT doc_id, lang, h, CAST(({_u16}) % 8 AS INT) AS shard FROM x)
+    s AS (SELECT doc_id, lang, h, CAST(({_u32}) % 8 AS INT) AS shard FROM x)
     SELECT doc_id, lang, shard,
            CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
                 AS INT) AS pos

@@ -219,8 +219,10 @@ def entity_dictionary(spark: SparkSession, cfg: GenConfig) -> DataFrame:
 
     n = cfg.n_entities
     i = F.col("id").cast("string")
-    pad = F.lpad(i, 6, "0")
-    decoy_pad = F.lpad(((F.col("id") + 7) % n).cast("string"), 6, "0")
+    # %06d == entity_iri's f"{i:06d}": pads short ids, NEVER truncates long
+    # ones (lpad would silently truncate at n_entities >= 10^6)
+    pad = F.format_string("%06d", F.col("id"))
+    decoy_pad = F.format_string("%06d", (F.col("id") + 7) % n)
     ent = F.concat(F.lit(f"{EX}entity/"), pad)
 
     def _row(surface, candidate, prior):

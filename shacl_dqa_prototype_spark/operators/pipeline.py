@@ -76,15 +76,16 @@ def stratified_sample(
 # the phone pattern can eat their digit runs.
 #
 # Phone = international form with an explicit '+' prefix, OR separator-
-# structured 3-3-4 groups (NANP style). Both shapes carry ≥7 digits by
-# construction, so ISO dates (4-2-2), numeric ranges (10-20), versions,
-# and bare ID runs in training text are NOT rewritten — precision over
-# recall for corpus-corruption reasons (an undecorated 10-digit run is
-# left alone). Patterns stay in the Java/RE2-common subset (no lookaround)
+# structured 3-3-4 groups (NANP style). Both shapes carry ≥7 DIGITS by
+# construction — the '+' branch counts digit groups (at most two separator
+# chars between consecutive digits), not raw length, so ISO dates (4-2-2),
+# signed numeric ranges (+1.5 - 2.5), versions, and bare ID runs in
+# training text are NOT rewritten — precision over recall for
+# corpus-corruption reasons (an undecorated 10-digit run is left alone). Patterns stay in the Java/RE2-common subset (no lookaround)
 # and were verified char-identical between java.util.regex and DuckDB RE2.
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+[0-9][0-9()\-. ]{5,18}[0-9]"
+    (r"\+[0-9]([()\-. ]{0,2}[0-9]){6,14}"
      r"|\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
     (r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 ]
@@ -115,11 +116,13 @@ def global_shuffle(
     Scale shape: ONE shuffle (the per-shard row_number window); shards are
     mutually independent, so parallelism = n_shards and no global sort /
     single-partition bottleneck exists. The hash is md5-derived (not
-    xxhash64) for exact portability to the SQL oracle — at 16 hex chars the
-    order is collision-free in practice and ties fall back to the key."""
+    xxhash64) for exact portability to the SQL oracle; the shard comes
+    from the first 32 bits (supports n_shards up to ~4B without empty
+    shards and keeps mod-bias under 1 in 2^32/n_shards), and ties in the
+    full-digest ordering fall back to the key."""
     h = F.md5(F.concat_ws(
         "|", F.lit(str(seed)), F.col(key_col).cast("string")))
-    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
     w = Window.partitionBy("shard").orderBy("h", key_col)
     return (
         df.withColumn("h", h)

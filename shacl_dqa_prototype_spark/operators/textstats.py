@@ -175,13 +175,21 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> Da
 _FP_CHUNK = 1 << 14
 
 
+# Retention bound for the table cache: tables above this capacity are
+# built for the batch and released with it, NOT cached — a single 100 MB
+# outlier document must not pin outlier-sized buffers (~150 B per input
+# byte) in every reused Python worker for the rest of its life. 2^20
+# chars ≈ 160 MB of live tables+scratch is the cap on what is retained;
+# the common chunk-sized capacity (2^14 → ~2.5 MB) always stays cached.
+_FP_CACHE_MAX_CAP = 1 << 20
+
+
 class _FpTables:
-    """Grow-only per-process cache of the power/inverse-power tables and
-    kernel scratch. Profiling showed the per-batch _np_powmod_table
-    rebuilds plus the reversed/split table copies cost ~20% of the
-    batch — they depend only on (base, capacity), so they are computed
-    once at the high-water capacity and sliced per batch. Memory is
-    bounded by 7 uint64 arrays at the longest chunk/document seen."""
+    """Per-process cache of the power/inverse-power tables and kernel
+    scratch. Profiling showed the per-batch _np_powmod_table rebuilds plus
+    the reversed/split table copies cost ~20% of the batch — they depend
+    only on (base, capacity), so they are computed once at the high-water
+    capacity (bounded by _FP_CACHE_MAX_CAP) and sliced per batch."""
 
     _cache: dict[int, "_FpTables"] = {}
 
@@ -203,12 +211,14 @@ class _FpTables:
     @classmethod
     def for_cap(cls, cap: int) -> "_FpTables":
         got = cls._cache.get(_FP_BASE)
-        if got is None or got.cap < cap:
-            # grow in powers of two above the floor so repeated slightly-
-            # longer documents don't rebuild every batch
-            got = cls(max(_FP_CHUNK, 1 << (cap - 1).bit_length()))
-            cls._cache[_FP_BASE] = got
-        return got
+        if got is not None and got.cap >= cap:
+            return got
+        # grow in powers of two above the floor so repeated slightly-
+        # longer documents don't rebuild every batch
+        new = cls(max(_FP_CHUNK, 1 << (cap - 1).bit_length()))
+        if new.cap <= _FP_CACHE_MAX_CAP:
+            cls._cache[_FP_BASE] = new
+        return new
 
 
 class _FpScratch:

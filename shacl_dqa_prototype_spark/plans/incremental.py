@@ -255,8 +255,13 @@ def delta_monotone_violations(
     )
     # violations_for unions ONLY the branches that can emit monotone
     # metrics — the per-subject flags aggregation and the anti-join
-    # branches are never executed for a delta
-    return plan.violations_for(MONOTONE_METRICS)
+    # branches are never executed for a delta. Unpersist the plan's
+    # never-materialized caches immediately: compile registers the subj
+    # aggregate with the CacheManager eagerly, and a long-running
+    # streaming job would otherwise leak one entry per microbatch.
+    out = plan.violations_for(MONOTONE_METRICS)
+    plan.unpersist()
+    return out
 
 
 def _changed_buckets(df: DataFrame, key: str, n_buckets: int) -> list[int]:
@@ -629,12 +634,15 @@ def score_from_state(
     used_props = {r["p"] for r in ps.select("p").distinct().collect()}
     used_classes = {r["cls"] for r in
                     state.cls_pairs.read().select("cls").distinct().collect()}
-    shapes = compile_data_constraints(
+    shapes_plan = compile_data_constraints(
         spark.createDataFrame([], TRIPLES_SCHEMA), vocab_terms,
         disjoint_pairs or [], cfg,
         used_props=used_props, used_classes=used_classes,
         subclass_pairs=subclass_pairs,
-    ).shapes
+    )
+    shapes = shapes_plan.shapes
+    shapes_plan.unpersist()  # only the spec list is used — drop the
+    # eagerly-registered (never-materialized) cache entries right away
 
     prof = profile_from_state(state)
     row = prof["scalars"].first()

@@ -190,6 +190,9 @@ def start_streaming_dqa(
     checkpoint_dir: str,
     n_buckets: int = 32,
     available_now: bool = True,
+    maintain_every: int | None = 32,
+    compact_max_dirs: int = 64,
+    keep_snapshots: int = 8,
 ) -> StreamingQuery:
     """Continuous data-quality assessment: a stream of triple appends is
     folded into an ``IncrementalDQAState`` one microbatch at a time, so
@@ -206,14 +209,31 @@ def start_streaming_dqa(
 
     Scale shape is the incremental tier's: per batch, one bucket-pruned
     merge per state table (shuffle = delta + touched buckets only) and one
-    plain append of the monotone-family violations."""
+    plain append of the monotone-family violations.
+
+    Maintenance: every ``maintain_every`` epochs each state table is
+    compacted (dirs folded once past ``compact_max_dirs``) and its history
+    expired to the last ``keep_snapshots`` snapshots — without this an
+    unbounded stream accretes one commit + data dir per table per epoch,
+    and log parsing / path resolution would grow with stream age. A Spark
+    restart replays at most the last epoch, whose delta id always survives
+    a ``keep_snapshots`` ≥ 2 window, so idempotence is unaffected. Pass
+    ``maintain_every=None`` to keep FULL time-travel history instead
+    (audit mode — bound it yourself)."""
     from shacl_dqa_prototype_spark.plans.incremental import apply_delta
 
     run_id = os.path.abspath(checkpoint_dir)
+    tables = (state.subj_flags, state.ps_counts, state.cls_pairs,
+              state.po_pairs, state.dom_pairs, state.spo_pairs,
+              state.mono_violations)
 
     def _fold(batch_df, epoch_id: int) -> None:
         apply_delta(state, batch_df, cfg, vocab_terms, n_buckets=n_buckets,
                     delta_id=f"{run_id}#{epoch_id}")
+        if maintain_every and epoch_id % maintain_every == maintain_every - 1:
+            for t in tables:
+                t.compact(max_dirs=compact_max_dirs)
+                t.expire_snapshots(keep_last=keep_snapshots)
 
     writer = (
         stream_triples(spark, input_dir)

@@ -301,14 +301,22 @@ def test_streaming_dqa_matches_batch_and_is_drain_idempotent(spark, tmp_path):
     T = core._triples(spark, "/root/testdata/sf0.001")
     in_dir = str(tmp_path / "in")
     split = F.abs(F.xxhash64("s")) % 2 == 0
-    T.filter(split).write.mode("append").parquet(in_dir)
-    T.filter(~split).write.mode("append").parquet(in_dir)
+    # >16 part files => >1 microbatch (maxFilesPerTrigger=16), so the
+    # epoch loop, the idempotent delta keying AND the maintenance hook
+    # (compact + expire, forced aggressive here) all actually run
+    T.filter(split).repartition(10).write.mode("append").parquet(in_dir)
+    T.filter(~split).repartition(10).write.mode("append").parquet(in_dir)
 
     state = IncrementalDQAState.open(spark, str(tmp_path / "state"))
     start_streaming_dqa(
         spark, in_dir, state, core.ENTRY_CFG, core.ENTRY_VOCAB,
         checkpoint_dir=str(tmp_path / "ckpt"), n_buckets=4,
-    ).awaitTermination(180)
+        maintain_every=1, compact_max_dirs=1, keep_snapshots=2,
+    ).awaitTermination(300)
+    # maintenance bounds history: every state table's log stays tiny no
+    # matter how many epochs ran
+    for t in ("subj_flags", "ps_counts", "mono_violations"):
+        assert len(getattr(state, t).snapshots()) <= 3, t
 
     inc = violations_from_state(
         state, core.ENTRY_VOCAB, core.ENTRY_CFG,
