@@ -53,7 +53,9 @@ HEADLINE = [
     "dqa_scores",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_dup_ngram_fraction",
     "text_quality",
+    "text_quality_gate",
     "text_fingerprint",
     "pipe_pack_sequences",
     "sim_topk_cosine",

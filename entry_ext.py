@@ -672,6 +672,41 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_stats(_docs_flat(spark, sf_dir))
     q["text_repetition"] = text_rep
 
+    def text_vocab(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import (
+            vocab_top_tokens,
+        )
+
+        return vocab_top_tokens(_docs_flat(spark, sf_dir),
+                                top_k=50, min_count=2)
+    q["text_vocab_top_tokens"] = text_vocab
+
+    def text_gate(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import quality_gate
+
+        # word-soup corpus: raise the dup tolerance so the verdict mix is
+        # non-degenerate (some keep, several distinct reason strings)
+        return quality_gate(_docs_flat(spark, sf_dir),
+                            max_dup_word_frac=0.82)
+    q["text_quality_gate"] = text_gate
+
+    def pipe_src_filter(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.pipeline import (
+            source_quality_filter,
+        )
+
+        return source_quality_filter(_docs_flat(spark, sf_dir),
+                                     min_docs=10, min_mean_quality=0.79)
+    q["pipe_source_filter"] = pipe_src_filter
+
+    def dedup_dupfrac(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.dedup import (
+            dup_ngram_fraction,
+        )
+
+        return dup_ngram_fraction(_docs_flat(spark, sf_dir), n=8)
+    q["dedup_dup_ngram_fraction"] = dedup_dupfrac
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -1197,6 +1232,128 @@ def ext_oracles() -> dict[str, str]:
                 ELSE 0.0 END AS dup_word_frac,
            coalesce(ba.top * 1.0 / ba.nb, 0.0) AS top_bigram_frac
     FROM wa LEFT JOIN ba USING (doc_id)"""
+
+    o["text_vocab_top_tokens"] = r"""
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (
+      SELECT token, count(*) AS n FROM toks
+      WHERE length(token) > 0
+      GROUP BY token HAVING count(*) >= 2)
+    SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+    FROM c ORDER BY n DESC, token LIMIT 50"""
+
+    # quality_gate: same rule thresholds as the entry (max_dup_word_frac
+    # raised to 0.82 for the word-soup corpus); concat_ws skips NULLs in
+    # both engines, so reasons assemble identically
+    o["text_quality_gate"] = r"""
+    WITH base AS (
+      SELECT doc_id, text, trim(text) AS tt,
+             concat(' ', lower(text), ' ') AS padded
+      FROM documents),
+    w AS (
+      SELECT doc_id,
+             CASE WHEN length(tt) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(tt, '\s+')) END AS n,
+             length(regexp_replace(tt, '\s+', '', 'g')) AS n_nonws,
+             (CASE WHEN position(' the ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' and ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' of ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' to ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' a ' IN padded) > 0 THEN 1 ELSE 0 END)
+               AS hits
+      FROM base),
+    cnt AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY doc_id, word),
+    dups AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS ndup
+      FROM cnt GROUP BY doc_id),
+    y AS (
+      SELECT w.doc_id, n, hits,
+             n_nonws * 1.0 / nullif(n, 0) AS mwl,
+             COALESCE(ndup, 0) * 1.0 / nullif(n, 0) AS dupf
+      FROM w LEFT JOIN dups ON w.doc_id = dups.doc_id),
+    r AS (
+      SELECT doc_id, n,
+        concat_ws(',',
+          CASE WHEN n < 5 THEN 'too_few_words' END,
+          CASE WHEN n > 5000 THEN 'too_many_words' END,
+          CASE WHEN n > 0 AND (mwl < 2.0 OR mwl > 12.0)
+               THEN 'word_len_out_of_band' END,
+          CASE WHEN COALESCE(dupf, 0) > 0.82 THEN 'dup_word_frac_high' END,
+          CASE WHEN hits = 0 THEN 'no_stopwords' END) AS reasons
+      FROM y)
+    SELECT doc_id, CAST(n AS INT) AS n_words, reasons = '' AS keep, reasons
+    FROM r"""
+
+    # source filter: mean over the exact integer quality*100, so partial-
+    # aggregation order cannot perturb the float mean
+    o["pipe_source_filter"] = r"""
+    WITH x AS (
+      SELECT source, length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             concat(' ', lower(text), ' ') AS padded
+      FROM documents),
+    y AS (
+      SELECT source,
+             n_punct * 1.0 / nullif(n_chars, 0) AS pr,
+             (CASE WHEN position(' the ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' and ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' of ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' to ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' a ' IN padded) > 0 THEN 1 ELSE 0 END)
+               AS hits,
+             n_chars
+      FROM x),
+    q AS (
+      SELECT source,
+             CAST(round(round(
+               (CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN pr <= 0.1 THEN 0.3 ELSE 0.0 END)
+             + hits / 5.0 * 0.3, 6) * 100) AS BIGINT) AS q100
+      FROM y),
+    agg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(q100) AS BIGINT) AS sq
+      FROM q GROUP BY source)
+    SELECT source, n_docs,
+           round(CAST(sq AS DOUBLE) / n_docs / 100.0, 6) AS mean_quality,
+           (n_docs >= 10 AND
+            round(CAST(sq AS DOUBLE) / n_docs / 100.0, 6) >= 0.79) AS keep
+    FROM agg"""
+
+    o["dedup_dup_ngram_fraction"] = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    pos AS (
+      SELECT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)
+      WHERE len(t) >= 8
+        AND length(array_to_string(t[i:i+7], ' ')) > 0),
+    per_doc AS (
+      SELECT doc_id, shingle, count(*) AS cnt FROM pos GROUP BY 1, 2),
+    freq AS (SELECT shingle, count(*) AS df FROM per_doc GROUP BY 1),
+    dup AS (
+      SELECT p.doc_id, CAST(SUM(cnt) AS BIGINT) AS dup_ngrams
+      FROM per_doc p JOIN freq USING (shingle)
+      WHERE df > 1 GROUP BY 1),
+    tot AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams
+      FROM per_doc GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(n_ngrams, 0) AS n_ngrams,
+           COALESCE(dup_ngrams, 0) AS dup_ngrams,
+           CASE WHEN COALESCE(n_ngrams, 0) > 0
+                THEN round(COALESCE(dup_ngrams, 0) * 1.0 / n_ngrams, 6)
+                ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)"""
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

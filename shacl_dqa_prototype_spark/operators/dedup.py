@@ -17,7 +17,7 @@ the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_RX = r"\s+"
@@ -313,4 +313,79 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dup_ngram_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (the RefinedWeb /
+    MassiveText "fraction of characters in duplicated n-grams" filter,
+    token-position flavored): for every document, the share of its n-gram
+    POSITIONS whose n-gram also occurs in at least one OTHER document.
+    Documents scoring high are boilerplate-heavy (mirrors, templates,
+    spun content) even when no single whole-document near-dup exists.
+
+    Emits ``(doc_id, n_ngrams, dup_ngrams, dup_frac)`` for every doc
+    (docs shorter than n words have 0 positions and dup_frac 0.0).
+
+    Scale shape: three shuffles and NO self-join —
+      1. groupBy(doc_id, shingle) collapses within-doc repeats with
+         map-side partial aggregation,
+      2. the corpus doc-frequency is a count() WINDOW partitioned by
+         shingle over the (doc, shingle)-distinct rows of (1) — the
+         classic frequency-join expressed as one exchange instead of an
+         aggregate plus a join back (which would re-run the explode and
+         shuffle the same rows twice),
+      3. groupBy(doc_id) folds the flagged rows into per-doc dup counts.
+    The per-doc POSITION total never shuffles at all: it is
+    max(n_tokens − n + 1, 0), computed map-side from the same token
+    array. Nothing is ever all-pairs and no token leaves its task
+    un-aggregated. At 100 TB, shingles should be hashed before the
+    shuffle (``_hash60``-style) to shrink the key; the contract entry
+    keeps raw strings so the SQL oracle re-derives it verbatim."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), TOKEN_RX).alias("toks"),
+    )
+    # every full window is a position: empty docs split to [''] (size 1),
+    # so size-n+1 <= 0 covers both the empty and the too-short case
+    base = toks.select(
+        "doc_id",
+        F.greatest(F.size("toks") - (n - 1), F.lit(0))
+        .cast("long").alias("n_ngrams"))
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    per_doc = pos.groupBy("doc_id", "shingle").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("shingle")
+    dup = (
+        per_doc.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") > 1)
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("dup_ngrams"))
+    )
+    return (
+        base.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.when(F.col("n_ngrams") > 0,
+                   F.round(F.coalesce("dup_ngrams", F.lit(0))
+                           / F.col("n_ngrams").cast("double"), 6))
+            .otherwise(0.0).alias("dup_frac"),
+        )
     )

@@ -130,3 +130,46 @@ def global_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("h")
     )
+
+
+def source_quality_filter(
+    docs: DataFrame,
+    source_col: str = "source",
+    min_docs: int = 5,
+    min_mean_quality: float = 0.5,
+) -> DataFrame:
+    """Domain-level curation verdicts: aggregate the per-document heuristic
+    quality score per source (domain / crawl host / feed) and keep only
+    sources with enough volume AND a high-enough mean — the corpus-level
+    analogue of URL-blocklist filtering in web-pipeline curation (whole
+    domains are dropped, not individual pages, so one decision removes
+    millions of docs cheaply).
+
+    Emits one verdict row per source: ``(source, n_docs, mean_quality,
+    keep)``. Join the keepers back to the corpus (broadcast — the verdict
+    table has one row per DOMAIN, tiny at any corpus size) to materialize
+    the filtered set.
+
+    Scale shape: quality rides the corpus scan via ``passthrough`` (no
+    doc_id re-join), then ONE partial-aggregated groupBy on source.
+    ``mean_quality`` averages over an exact integer (quality×100 — the
+    heuristic score is a multiple of 0.02 by construction), so the mean is
+    sum(int)/count: deterministic under any partial-aggregation order,
+    unlike a float sum."""
+    from shacl_dqa_prototype_spark.operators.textstats import quality_score
+
+    q = quality_score(docs, passthrough=(source_col,))
+    q100 = F.round(F.col("quality") * 100).cast("long")
+    per_src = (
+        q.select(F.col(source_col).alias("source"), q100.alias("q100"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("q100").alias("sq"))
+    )
+    mean_q = F.round(F.col("sq") / F.col("n_docs") / 100.0, 6)
+    return per_src.select(
+        "source",
+        "n_docs",
+        mean_q.alias("mean_quality"),
+        ((F.col("n_docs") >= min_docs)
+         & (mean_q >= min_mean_quality)).alias("keep"),
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny language marker lists (n-gram/stopword heuristic). Deterministic,
@@ -46,9 +46,16 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + a composite score in [0,1]:
-    length band, punctuation ratio, stopword presence ratio."""
+    length band, punctuation ratio, stopword presence ratio.
+
+    ``passthrough`` columns ride along unchanged so downstream group-bys
+    (e.g. per-source curation) stay on this single scan instead of
+    re-joining on doc_id."""
     t = F.col(text_col)
     n_chars = F.length(t)
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
@@ -72,6 +79,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         stop_hits.alias("stopword_hits"),
         F.round(score, 6).alias("quality"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -602,4 +610,110 @@ def length_profile(
             F.col("_p")[1].cast("double").alias("p90_len"),
             F.col("_p")[2].cast("double").alias("p99_len"),
         )
+    )
+
+
+def vocab_top_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 100,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus token-frequency table: the top-``top_k`` whitespace tokens
+    (lowercased) with corpus count ≥ ``min_count`` — the statistic a
+    tokenizer-training run (BPE/unigram seed vocab) starts from.
+
+    Scale shape: explode stays map-side in codegen; the groupBy benefits
+    from partial (map-side combine) aggregation, so the shuffle carries
+    one row per distinct token per task, not per occurrence. The global
+    top-k is orderBy+limit, which Spark executes as TakeOrdered (per-
+    partition heap + driver merge of k rows), never a full sort. The rank
+    window runs on ≤ top_k rows — a single bounded partition by design.
+    Tie-break is (count DESC, token ASC), fully deterministic."""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = (
+        docs.filter(F.length(t) > 0)
+        .select(F.explode(F.split(t, r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.select("token", "n", F.row_number().over(w).cast("int").alias("rank"))
+
+
+# Gopher-style rule bundle (Rae et al. 2021 table A1, adapted to the
+# single-line synthetic corpus). Rule names are emitted in this order so
+# the reasons string is deterministic. Thresholds are constructor args so
+# a real pipeline tunes them per corpus.
+QUALITY_GATE_RULES = (
+    "too_few_words", "too_many_words", "word_len_out_of_band",
+    "dup_word_frac_high", "no_stopwords",
+)
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 5000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_word_frac: float = 0.5,
+) -> DataFrame:
+    """Keep/drop verdict per document with named reasons — the filter
+    stage a Gopher/RefinedWeb-style curation pipeline applies before
+    dedup. Emits ``(doc_id, n_words, keep, reasons)`` where ``reasons``
+    is the comma-joined failed rule names in QUALITY_GATE_RULES order
+    ('' when the document passes).
+
+    Scale shape: ZERO shuffles — every rule needs only the row's own
+    words. The dup-word fraction reuses the sorted-array run-length trick
+    from repetition_stats (O(n log n) per row, stays in codegen); the
+    whole operator is one narrow map over the corpus, so at 100 TB it
+    pipelines with the scan and writes its verdicts without a single
+    exchange. Verdicts are emitted for EVERY doc (not just keepers) so
+    downstream can audit drop rates per rule."""
+    t = F.col(text_col)
+    d = docs.select(
+        "doc_id", t.alias("_t"),
+        F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim(t), r"\s+")).alias("w"))
+    d = d.withColumn("n", F.size("w")).withColumn("sw", F.array_sort("w"))
+    d = d.withColumn("n_single", F.expr(
+        "size(filter(sequence(0, n - 1), i -> "
+        "(i = 0 OR sw[i] != sw[i-1]) AND (i = n - 1 OR sw[i] != sw[i+1])))"))
+    n = F.col("n")
+    nd = n.cast("double")
+    # mean word length over the document's non-whitespace characters
+    mean_wl = (F.length(F.regexp_replace(F.trim(F.col("_t")), r"\s+", ""))
+               / F.nullif(nd, F.lit(0.0)))
+    dup_frac = F.when(n > 0, (nd - F.col("n_single")) / nd).otherwise(0.0)
+    padded = F.concat(F.lit(" "), F.lower(F.col("_t")), F.lit(" "))
+    stop_hits = F.lit(0)
+    for wd in (" the ", " and ", " of ", " to ", " a "):
+        stop_hits = stop_hits + F.when(
+            F.contains(padded, F.lit(wd)), 1).otherwise(0)
+    fails = {
+        "too_few_words": n < min_words,
+        "too_many_words": n > max_words,
+        "word_len_out_of_band": (n > 0) & (
+            (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len)),
+        "dup_word_frac_high": dup_frac > max_dup_word_frac,
+        "no_stopwords": stop_hits == 0,
+    }
+    # concat_ws skips NULLs (identically in DuckDB), so failed-rule names
+    # join without sentinel gymnastics
+    reasons = F.concat_ws(
+        ",", *[F.when(fails[r], F.lit(r)) for r in QUALITY_GATE_RULES])
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
     )

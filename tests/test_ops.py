@@ -510,3 +510,74 @@ def test_language_id_broad(spark):
            for r in textstats.language_id(df).collect()}
     for i, lang in enumerate(samples):
         assert got[i] == lang, (lang, got[i])
+
+
+def test_vocab_top_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "apple banana apple Cherry"),
+         (1, "banana apple date"),
+         (2, "cherry banana"),
+         (3, "   ")],
+        ["doc_id", "text"])
+    got = textstats.vocab_top_tokens(df, top_k=2, min_count=2).collect()
+    # apple: 3, banana: 3 (tie -> alphabetical), cherry: 2 cut by top_k
+    assert [(r["token"], r["n"], r["rank"]) for r in got] == [
+        ("apple", 3, 1), ("banana", 3, 2)]
+
+
+def test_quality_gate_rules(spark):
+    stop = "the and of to a"
+    df = spark.createDataFrame(
+        [(0, f"one two three four {stop} good words here"),   # keep
+         (1, "shorty"),                                       # too_few_words
+         (2, " ".join(["dup"] * 40) + " " + stop),            # dup high
+         (3, "zz " * 6),                                      # no stopwords (+ dups)
+         (4, "x " * 600 + stop),                              # dup + short words
+         (5, f"supercalifragilisticexpialidocious {stop} abcdefghijklmnopqrst "
+             f"uvwxyzabcdefghijklmn zyxwvutsrqponmlkjihg qwertyuiopasdfghjklz")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in textstats.quality_gate(df).collect()}
+    assert got[0]["keep"] and got[0]["reasons"] == ""
+    assert got[1]["reasons"] == "too_few_words,no_stopwords"
+    assert got[2]["reasons"] == "dup_word_frac_high"
+    assert got[3]["reasons"] == "dup_word_frac_high,no_stopwords"
+    assert "dup_word_frac_high" in got[4]["reasons"]
+    assert got[5]["reasons"] == "word_len_out_of_band"
+    # every doc gets a verdict row, keepers included
+    assert len(got) == 6
+
+
+def test_source_quality_filter(spark):
+    stop = "the and of to a"
+    good = "this text is long enough to clear the fifty character length band " + stop
+    rows = [(i, good, "bulk") for i in range(10)]
+    rows += [(100 + i, "??" * 40, "noisy") for i in range(10)]  # punct-heavy
+    rows += [(200, good, "tiny")]                               # under min_docs
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    from shacl_dqa_prototype_spark.operators.pipeline import (
+        source_quality_filter,
+    )
+
+    got = {r["source"]: r for r in
+           source_quality_filter(df, min_docs=5, min_mean_quality=0.5).collect()}
+    assert got["bulk"]["keep"] and got["bulk"]["mean_quality"] >= 0.5
+    assert not got["noisy"]["keep"]   # low mean quality
+    assert not got["tiny"]["keep"]    # too few docs even though quality ok
+    assert got["bulk"]["n_docs"] == 10
+
+
+def test_dup_ngram_fraction(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+    df = spark.createDataFrame(
+        [(0, shared + " unique0 tail0 end0"),
+         (1, shared + " unique1 tail1 end1"),
+         (2, "totally different words with no overlap at all here now"),
+         (3, "short doc")],  # < 8 words -> zero positions
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in dedup.dup_ngram_fraction(df, n=8).collect()}
+    # docs 0/1: 4 positions each, exactly one (the shared leading 8-gram)
+    # occurs in the other doc too
+    assert got[0]["n_ngrams"] == 4 and got[0]["dup_ngrams"] == 1
+    assert got[1]["dup_frac"] == 0.25
+    assert got[2]["dup_ngrams"] == 0 and got[2]["dup_frac"] == 0.0
+    assert got[3]["n_ngrams"] == 0 and got[3]["dup_frac"] == 0.0
