@@ -707,6 +707,48 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dup_ngram_fraction(_docs_flat(spark, sf_dir), n=8)
     q["dedup_dup_ngram_fraction"] = dedup_dupfrac
 
+    def events_asof(spark, sf_dir):
+        from pyspark.sql import Window as W
+
+        from shacl_dqa_prototype_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        clicks = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts", "value")
+        # right side must be unique per (user, ts) for deterministic ties:
+        # keep the max event_id per instant (same rule as the oracle)
+        views = ev.filter("event_type = 'view'").select(
+            "event_id", "user_id", "ts", "value")
+        w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+        vd = (views.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").drop("rn"))
+        out = asof_join(clicks, vd, on="ts", by=("user_id",),
+                        right_cols=("event_id", "value"))
+        # stringify timestamps for the cross-engine compare (pandas dtype
+        # ns vs us — same convention as events_session_window)
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+            F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_r"),
+            "event_id_r", "value_r")
+    q["events_asof_join"] = events_asof
+
+    def kg_khop(spark, sf_dir):
+        import __spark_entry__ as core
+
+        from shacl_dqa_prototype_spark.operators.traversal import (
+            k_hop_reachability,
+        )
+
+        T = core._triples(spark, sf_dir)
+        edges = T.filter(
+            (F.col("o_kind") == "iri") & (F.col("p") != "rdf:type")
+        ).select(F.col("s").alias("src"), F.col("o").alias("dst"))
+        seeds = spark.createDataFrame([("urn:nation:0",)], ["node"])
+        return k_hop_reachability(edges, seeds, k=3, directed=False)
+    q["kg_k_hop"] = kg_khop
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -1354,6 +1396,49 @@ def ext_oracles() -> dict[str, str]:
                 THEN round(COALESCE(dup_ngrams, 0) * 1.0 / n_ngrams, 6)
                 ELSE 0.0 END AS dup_frac
     FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)"""
+
+    # as-of join: the Spark side is UNION + last(ignorenulls) window; the
+    # oracle is DuckDB's NATIVE ASOF JOIN — two independent formulations
+    # of the same semantics (right side deduped per (user, ts) by max
+    # event_id so ties cannot differ between them)
+    o["events_asof_join"] = """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+    r0 AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'),
+    r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1)
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.value,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_r,
+           r.event_id AS event_id_r, r.value AS value_r
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    # k-hop reachability: the Spark side is layer-synchronous BFS with
+    # anti-joins; the oracle unrolls the k=3 expansion and lets min()
+    # recover the BFS distance (layer j ⊇ frontier j but may re-reach
+    # earlier nodes; the min over layers is exactly the BFS distance)
+    o["kg_k_hop"] = f"""
+    WITH triples AS ({{__T__}}),
+    base AS (
+      SELECT s AS a, o AS b FROM triples
+      WHERE o_kind = 'iri' AND p <> 'rdf:type'),
+    e AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+    h0 AS (SELECT 'urn:nation:0' AS node),
+    h1 AS (SELECT DISTINCT e.b AS node FROM e JOIN h0 ON e.a = h0.node),
+    h2 AS (SELECT DISTINCT e.b AS node FROM e JOIN h1 ON e.a = h1.node),
+    h3 AS (SELECT DISTINCT e.b AS node FROM e JOIN h2 ON e.a = h2.node),
+    allh AS (
+      SELECT node, 0 AS h FROM h0
+      UNION ALL SELECT node, 1 FROM h1
+      UNION ALL SELECT node, 2 FROM h2
+      UNION ALL SELECT node, 3 FROM h3)
+    SELECT node, CAST(min(h) AS INT) AS min_hops
+    FROM allh GROUP BY node""".replace("{__T__}", _CORE_TRIPLES_SQL)
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

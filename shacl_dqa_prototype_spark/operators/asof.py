@@ -1,0 +1,84 @@
+"""As-of (nearest-key temporal) join — the time-series primitive Spark
+lacks natively: for every left row, the latest right row with the same
+keys and ``on``-value ≤ the left's (direction='backward'; 'forward' takes
+the earliest ≥).
+
+Spark-first shape: the join is expressed as UNION + one window pass —
+tag both inputs, sort each key partition by (on, side), and carry the
+last-seen right payload forward with last(ignorenulls) — so the whole
+operator is ONE shuffle (the window partitioning) and zero joins. The
+naive formulation (range join + row_number) shuffles both sides AND
+explodes the range; pandas' merge_asof is single-node. This form
+partitions by the join keys, so it scales to any number of keys and
+skew-mitigates like any window (salt the key if one user dominates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    right_cols: tuple[str, ...] | None = None,
+    direction: str = "backward",
+    tolerance_expr: F.Column | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Every left row, plus the matched right row's ``on`` value and
+    ``right_cols`` (NULL when no right row qualifies).
+
+    Ties: right rows sharing the same (by, on) are folded by "last in
+    window order", which is only deterministic if the right side is
+    unique per (by, on) — pre-aggregate it if it isn't (the contract
+    entry dedups by max event_id). ``tolerance_expr`` (e.g.
+    ``F.expr("INTERVAL 1 HOUR")``) voids matches farther than the
+    tolerance from the left row, mirroring pandas merge_asof.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    rc = tuple(right_cols) if right_cols is not None else tuple(
+        c for c in right.columns if c not in by and c != on)
+    payload = F.struct(
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in rc])
+
+    l_tag = left.withColumn("_r", F.lit(None).cast(
+        right.select(payload.alias("_r")).schema["_r"].dataType
+    )).withColumn("_is_l", F.lit(1))
+    r_tag = right.select(
+        *[F.col(c) for c in by], F.col(on),
+        payload.alias("_r"), F.lit(0).alias("_is_l"),
+    )
+    # left carries its full row; right rows only need key + payload
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(
+                dict(left.dtypes)[c]))
+    u = l_tag.unionByName(r_tag.select(l_tag.columns))
+
+    if direction == "backward":
+        # right sorts before left at equal `on` (0 < 1): a reference AT
+        # the query timestamp is visible to it
+        w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("_is_l").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        w = (Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("_is_l").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_is_l") == 1).drop("_r", "_is_l")
+    if tolerance_expr is not None:
+        lo, hi = ((F.col(f"_m.{on}{suffix}"), F.col(on))
+                  if direction == "backward"
+                  else (F.col(on), F.col(f"_m.{on}{suffix}")))
+        out = out.withColumn(
+            "_m", F.when(hi <= lo + tolerance_expr, F.col("_m")))
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        F.col(f"_m.{on}{suffix}").alias(f"{on}{suffix}"),
+        *[F.col(f"_m.{c}{suffix}").alias(f"{c}{suffix}") for c in rc],
+    )

@@ -581,3 +581,48 @@ def test_dup_ngram_fraction(spark):
     assert got[1]["dup_frac"] == 0.25
     assert got[2]["dup_ngrams"] == 0 and got[2]["dup_frac"] == 0.0
     assert got[3]["n_ngrams"] == 0 and got[3]["dup_frac"] == 0.0
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from shacl_dqa_prototype_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 100.0), (2, "u1", 205.0), (3, "u2", 50.0)],
+        ["id", "k", "t"])
+    right = spark.createDataFrame(
+        [(10, "u1", 90.0, "a"), (11, "u1", 100.0, "b"),
+         (12, "u1", 200.0, "c"), (13, "u3", 10.0, "z")],
+        ["rid", "k", "t", "tag"])
+    got = {r["id"]: r for r in asof_join(
+        left, right, on="t", by=("k",), right_cols=("rid", "tag")).collect()}
+    assert got[1]["tag_r"] == "b"    # equal timestamps match (<=)
+    assert got[2]["tag_r"] == "c"    # latest prior
+    assert got[3]["rid_r"] is None   # no right rows for u2
+    fwd = {r["id"]: r for r in asof_join(
+        left, right, on="t", by=("k",), right_cols=("rid", "tag"),
+        direction="forward").collect()}
+    assert fwd[1]["tag_r"] == "b" and fwd[2]["rid_r"] is None
+    tol = {r["id"]: r for r in asof_join(
+        left, right, on="t", by=("k",), right_cols=("rid", "tag"),
+        tolerance_expr=F.lit(4.0)).collect()}
+    assert tol[1]["tag_r"] == "b"    # distance 0 <= 4
+    assert tol[2]["rid_r"] is None   # distance 5 > 4 voided
+
+
+def test_k_hop_reachability(spark):
+    from shacl_dqa_prototype_spark.operators.traversal import (
+        k_hop_reachability,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "a")],
+        ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["node"])
+    got = {r["node"]: r["min_hops"]
+           for r in k_hop_reachability(edges, seeds, k=3).collect()}
+    # undirected: x is 1 hop away via the reversed edge
+    assert got == {"a": 0, "b": 1, "x": 1, "c": 2, "d": 3}
+    d = {r["node"]: r["min_hops"] for r in k_hop_reachability(
+        edges, seeds, k=10, directed=True).collect()}
+    # directed: never reaches x; early-exits once the frontier drains
+    assert d == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
