@@ -749,6 +749,53 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return k_hop_reachability(edges, seeds, k=3, directed=False)
     q["kg_k_hop"] = kg_khop
 
+    def snap_upsert(spark, sf_dir):
+        import tempfile
+
+        from shacl_dqa_prototype_spark.sources.snapshots import SnapshotTable
+
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_upsert_"),
+                          base.schema)
+        t.commit_overwrite(base, bucket_col="o_orderkey", n_buckets=8)
+        # merge 1: price bump on every 7th key (pure update)
+        t.merge_upsert(orders.filter("o_orderkey % 7 = 0").select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice")),
+            "o_orderkey")
+        # merge 2: inserts (shifted keys) + updates overriding merge 1
+        u2 = orders.filter("o_orderkey % 13 = 0").select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        ).unionByName(orders.filter("o_orderkey % 21 = 0").select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 5000).alias("o_totalprice")))
+        t.merge_upsert(u2, "o_orderkey")
+        return t.read()
+    q["snapshot_merge_upsert"] = snap_upsert
+
+    def dedup_best(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.dedup import (
+            exact_duplicate_clusters,
+            keep_best_per_cluster,
+        )
+
+        # plant dup copies (same scheme as dedup_cluster_exact: every
+        # 10th doc re-appears under a shifted id) — the raw corpus has no
+        # exact dups at sf0.01, which would make this a 0-row no-test
+        d = _docs_flat(spark, sf_dir).select("doc_id", "text")
+        d = d.unionByName(d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+        # synthetic quality varying WITHIN exact-dup clusters (identical
+        # text ⇒ identical heuristic quality, which would degenerate the
+        # policy to min-id); both engines reproduce it trivially
+        qual = d.select("doc_id",
+                        (F.col("doc_id") * 37 % 101).alias("quality"))
+        return keep_best_per_cluster(exact_duplicate_clusters(d), qual)
+    q["dedup_keep_best"] = dedup_best
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -1439,6 +1486,50 @@ def ext_oracles() -> dict[str, str]:
       UNION ALL SELECT node, 3 FROM h3)
     SELECT node, CAST(min(h) AS INT) AS min_hops
     FROM allh GROUP BY node""".replace("{__T__}", _CORE_TRIPLES_SQL)
+
+    # merge_upsert: the table state after overwrite + two keyed merges
+    # must equal the declarative last-writer-wins relation
+    o["snapshot_merge_upsert"] = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    u1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0),
+    u2 AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+             o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice + 5000
+      FROM orders WHERE o_orderkey % 21 = 0)
+    SELECT * FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u1)
+      AND o_orderkey NOT IN (SELECT o_orderkey FROM u2)
+    UNION ALL
+    SELECT * FROM u1
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u2)
+    UNION ALL
+    SELECT * FROM u2"""
+
+    o["dedup_keep_best"] = """
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+    h AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h,
+             doc_id * 37 % 101 AS q
+      FROM d),
+    dup AS (SELECT h FROM h GROUP BY h HAVING count(*) > 1),
+    m AS (SELECT doc_id, h.h, q FROM h JOIN dup USING (h))
+    SELECT doc_id,
+           first_value(doc_id) OVER
+             (PARTITION BY h ORDER BY q DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS keeper,
+           row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id) = 1
+             AS keep
+    FROM m"""
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

@@ -389,3 +389,44 @@ def dup_ngram_fraction(
             .otherwise(0.0).alias("dup_frac"),
         )
     )
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-policy canonical selection: given cluster membership
+    (doc_id, canonical — any generator above composed through
+    dedup_clusters / exact_duplicate_clusters) and a per-doc quality
+    score, pick the KEEPER of each cluster as the highest-quality member
+    (tie → min doc_id) instead of the default min-id. Real pipelines keep
+    the best copy of a near-dup family, not the lexicographically first.
+
+    Returns (doc_id, keeper, keep) for every clustered doc — ``keep``
+    marks the winning row; the rest is the drop set.
+
+    Scale shape: one join on doc_id (broadcastable when the clustered
+    subset is small relative to the corpus — usually is) and one window
+    partitioned by cluster; cluster ids are hash-distributed, so no skew
+    beyond the largest dup family, which salting can't help anyway
+    (max() needs the family together)."""
+    # membership omits the canonical row itself in the exact generator —
+    # re-add it so the keeper competes against every member
+    members = clusters.select("doc_id", "canonical").unionByName(
+        clusters.select(F.col("canonical").alias("doc_id"),
+                        "canonical")).distinct()
+    scored = members.join(
+        quality.select(F.col("doc_id"), F.col(quality_col).alias("_q")),
+        "doc_id")
+    w = (Window.partitionBy("canonical")
+         .orderBy(F.desc("_q"), F.asc("doc_id")))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("keeper", F.first("doc_id").over(
+            Window.partitionBy("canonical")
+            .orderBy(F.desc("_q"), F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)))
+        .select("doc_id", "keeper", (F.col("_rn") == 1).alias("keep"))
+    )

@@ -284,6 +284,45 @@ class SnapshotTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(*paths)
 
+    def merge_upsert(
+        self, updates: DataFrame, key_col: str,
+        n_buckets: int = 32, extra: dict | None = None,
+    ) -> str:
+        """Keyed MERGE (upsert, last-writer-wins): rows of ``updates``
+        replace current rows with the same ``key_col`` value and insert
+        otherwise — Iceberg's ``MERGE INTO`` for the row-level case this
+        pipeline needs. ``updates`` must be unique per key (pre-aggregate
+        if it isn't; duplicated update keys would make the result
+        order-dependent).
+
+        Scale shape: the write is BUCKET-PRUNED end to end — the update's
+        bucket set is computed first (one tiny distinct on the update
+        keys), only those ``_bucket=k`` leaf dirs are read back
+        (path-level pruning, see read_buckets), the anti-join runs
+        against that slice alone, and commit_merge_buckets rewrites only
+        those buckets while carrying every untouched bucket by reference.
+        Upserting 1k rows into a 10⁹-row, 32-bucket table therefore
+        touches ~1/32nd of the data files and rewrites nothing else —
+        the same pruning discipline as the incremental-DQA state commits
+        (plans/incremental.py)."""
+        snap = self.current()
+        if snap is not None and snap.get("bucket_col") not in (None, key_col):
+            raise ValueError(
+                f"table is bucketed by {snap.get('bucket_col')!r}, "
+                f"cannot merge on {key_col!r}")
+        nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
+        bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
+        changed = [r[0] for r in
+                   updates.select(bucket_of.alias("b")).distinct().collect()]
+        current = self.read_buckets(changed)
+        merged = (
+            current.join(updates.select(key_col), key_col, "left_anti")
+            .unionByName(updates.select(current.columns))
+        )
+        return self.commit_merge_buckets(
+            merged, changed, bucket_col=key_col, n_buckets=nb,
+            extra={**(extra or {}), "operation_detail": "merge_upsert"})
+
     # ---- maintenance ----------------------------------------------------
 
     def compact(self, max_dirs: int = 16) -> str | None:

@@ -626,3 +626,20 @@ def test_k_hop_reachability(spark):
         edges, seeds, k=10, directed=True).collect()}
     # directed: never reaches x; early-exits once the frontier drains
     assert d == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_keep_best_per_cluster(spark):
+    clusters = spark.createDataFrame(
+        [(2, 1), (3, 1), (9, 8)], ["doc_id", "canonical"])
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (8, 0.5), (9, 0.1)],
+        ["doc_id", "quality"])
+    got = {r["doc_id"]: r for r in dedup.keep_best_per_cluster(
+        clusters, quality).collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> min id 2 wins over seed 1
+    assert got[2]["keep"] and got[2]["keeper"] == 2
+    assert not got[1]["keep"] and got[1]["keeper"] == 2
+    assert not got[3]["keep"]
+    # cluster {8,9}: 8 wins on quality
+    assert got[8]["keep"] and not got[9]["keep"] and got[9]["keeper"] == 8
+    assert len(got) == 5  # canonical members re-added to the competition

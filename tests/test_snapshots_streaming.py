@@ -344,3 +344,40 @@ def test_streaming_dqa_matches_batch_and_is_drain_idempotent(spark, tmp_path):
     ).awaitTermination(180)
     after = {t: len(getattr(state, t).snapshots()) for t in before}
     assert after == before
+
+
+def test_merge_upsert_last_writer_wins_and_prunes(spark, tmp_path):
+    """merge_upsert: updates replace, inserts append, untouched buckets'
+    files stay byte-identical, and a key-mismatched merge is refused."""
+    import glob
+    import hashlib
+
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", LongType(), False)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    base = spark.createDataFrame([(f"k{i}", 1) for i in range(64)], schema)
+    t.commit_overwrite(base, bucket_col="k", n_buckets=8)
+    dir1 = t.current()["dirs"][0]
+
+    def file_state():
+        return {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+                for p in glob.glob(os.path.join(t.data_dir, dir1, "**",
+                                                "*.parquet"), recursive=True)}
+
+    before = file_state()
+    ups = spark.createDataFrame([("k3", 42), ("knew", 7)], schema)
+    t.merge_upsert(ups, "k")
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert len(got) == 65 and got["k3"] == 42 and got["knew"] == 7
+    assert all(got[f"k{i}"] == 1 for i in range(64) if i != 3)
+    # the original commit's files are untouched on disk
+    assert file_state() == before
+    # a second upsert over the same key is last-writer-wins
+    t.merge_upsert(spark.createDataFrame([("k3", 99)], schema), "k")
+    assert {r["k"]: r["n"] for r in t.read().collect()}["k3"] == 99
+    # bucket-layout mismatch is an error, not silent corruption
+    with pytest.raises(ValueError):
+        t.merge_upsert(spark.createDataFrame([("k1", 0)], schema), "n")
