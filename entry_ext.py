@@ -796,6 +796,27 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return keep_best_per_cluster(exact_duplicate_clusters(d), qual)
     q["dedup_keep_best"] = dedup_best
 
+    def pipe_mixture(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.pipeline import mixture_plan
+
+        return mixture_plan(_docs_flat(spark, sf_dir),
+                            {"en": 0.5, "es": 0.2, "de": 0.2, "zh": 0.1})
+    q["pipe_mixture_plan"] = pipe_mixture
+
+    def events_rolling(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.features import (
+            rolling_window_features,
+        )
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+            "event_id", "user_id", "ts", "value")
+        out = rolling_window_features(ev, window_s=3600)
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value", "cnt_3600s", "sum_value_3600s")
+    q["events_rolling_1h"] = events_rolling
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -1530,6 +1551,37 @@ def ext_oracles() -> dict[str, str]:
            row_number() OVER (PARTITION BY h ORDER BY q DESC, doc_id) = 1
              AS keep
     FROM m"""
+
+    o["pipe_mixture_plan"] = r"""
+    WITH per AS (
+      SELECT lang AS grp, count(*) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT grp, n_docs, n_tokens,
+             CASE grp WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.2
+                      WHEN 'de' THEN 0.2 WHEN 'zh' THEN 0.1
+                      ELSE 0.0 END AS tw
+      FROM per),
+    b AS (SELECT min(n_tokens / tw) AS T FROM w WHERE tw > 0)
+    SELECT grp AS lang, n_docs, n_tokens,
+           round(tw, 6) AS target_weight,
+           CASE WHEN tw > 0 AND n_tokens > 0
+                THEN round(tw * T / n_tokens, 6) ELSE 0.0 END AS rate
+    FROM w CROSS JOIN b"""
+
+    # rolling features: RANGE frame over integer microseconds in both
+    # engines, so window membership is decided identically at the edges
+    o["events_rolling_1h"] = """
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value,
+           CAST(count(*) OVER w AS BIGINT) AS cnt_3600s,
+           round(SUM(value) OVER w, 6) AS sum_value_3600s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

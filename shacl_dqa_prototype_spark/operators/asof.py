@@ -50,16 +50,16 @@ def asof_join(
     l_tag = left.withColumn("_r", F.lit(None).cast(
         right.select(payload.alias("_r")).schema["_r"].dataType
     )).withColumn("_is_l", F.lit(1))
+    # left carries its full row; right rows only need key + payload —
+    # everything else rides as typed NULLs so the union lines up
+    keep = set(by) | {on}
+    ltypes = dict(left.dtypes)
     r_tag = right.select(
-        *[F.col(c) for c in by], F.col(on),
+        *[F.col(c) if c in keep else F.lit(None).cast(ltypes[c]).alias(c)
+          for c in left.columns],
         payload.alias("_r"), F.lit(0).alias("_is_l"),
     )
-    # left carries its full row; right rows only need key + payload
-    for c in left.columns:
-        if c not in r_tag.columns:
-            r_tag = r_tag.withColumn(c, F.lit(None).cast(
-                dict(left.dtypes)[c]))
-    u = l_tag.unionByName(r_tag.select(l_tag.columns))
+    u = l_tag.unionByName(r_tag)
 
     if direction == "backward":
         # right sorts before left at equal `on` (0 < 1): a reference AT

@@ -173,3 +173,60 @@ def source_quality_filter(
         ((F.col("n_docs") >= min_docs)
          & (mean_q >= min_mean_quality)).alias("keep"),
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mixture planner: given target mixture ``weights`` per
+    group (language / domain / source), compute the largest total token
+    budget the corpus can serve at exactly those proportions and each
+    group's sampling rate toward it — the data-mixing arithmetic an LLM
+    pretraining run starts from.
+
+    The binding constraint is the group with the least headroom:
+    T = min_g tokens_g / w_g, rate_g = w_g * T / tokens_g (the binding
+    group gets rate 1.0, everything else is downsampled). Groups missing
+    from ``weights`` get weight 0 → rate 0 (excluded from the mixture).
+
+    Emits (group, n_docs, n_tokens, target_weight, rate).
+
+    Scale shape: one partial-aggregated groupBy over the corpus (token
+    counts are whitespace splits, map-side), then the min and the rates
+    are computed over the #groups-sized aggregate — broadcast-scale
+    arithmetic, deterministic (integer token sums, one double division
+    per group)."""
+    t = F.col(text_col)
+    n_toks = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+")))
+    per = (
+        docs.select(F.col(group_col).alias("grp"), n_toks.alias("nt"))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv])
+    per = per.withColumn(
+        "target_weight", F.coalesce(wmap[F.col("grp")], F.lit(0.0)))
+    # T = min over weighted groups of tokens_g / w_g; the aggregate is
+    # #groups rows, so the cross-join broadcast is a scalar
+    budget = per.filter(F.col("target_weight") > 0).agg(
+        F.min(F.col("n_tokens") / F.col("target_weight")).alias("_T"))
+    return (
+        per.crossJoin(F.broadcast(budget))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            F.round("target_weight", 6).alias("target_weight"),
+            F.when(
+                (F.col("target_weight") > 0) & (F.col("n_tokens") > 0),
+                F.round(F.col("target_weight") * F.col("_T")
+                        / F.col("n_tokens"), 6),
+            ).otherwise(0.0).alias("rate"),
+        )
+    )

@@ -643,3 +643,42 @@ def test_keep_best_per_cluster(spark):
     # cluster {8,9}: 8 wins on quality
     assert got[8]["keep"] and not got[9]["keep"] and got[9]["keeper"] == 8
     assert len(got) == 5  # canonical members re-added to the competition
+
+
+def test_mixture_plan_binding_group(spark):
+    from shacl_dqa_prototype_spark.operators.pipeline import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "en"), (1, "e f g h", "en"),
+         (2, "i j", "de"), (3, "k l m n o p", "fr")],
+        ["doc_id", "text", "lang"])
+    got = {r["lang"]: r for r in mixture_plan(
+        docs, {"en": 0.5, "de": 0.5}).collect()}
+    # tokens: en=8, de=2; T = min(8/0.5, 2/0.5) = 4 -> de binds at rate 1
+    assert got["de"]["rate"] == 1.0
+    assert got["en"]["rate"] == 0.25      # 0.5*4/8
+    assert got["fr"]["rate"] == 0.0 and got["fr"]["target_weight"] == 0.0
+    assert got["en"]["n_tokens"] == 8 and got["de"]["n_docs"] == 1
+
+
+def test_rolling_window_features(spark):
+    import datetime as dt
+
+    from shacl_dqa_prototype_spark.operators.features import (
+        rolling_window_features,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, t0, 10.0),
+        (2, 7, t0 + dt.timedelta(seconds=3600), 5.0),   # exactly 1h: in range
+        (3, 7, t0 + dt.timedelta(seconds=7201), 2.0),   # both others aged out
+        (4, 8, t0 + dt.timedelta(seconds=10), 1.0),     # other key untouched
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {r["event_id"]: r for r in
+           rolling_window_features(df, window_s=3600).collect()}
+    assert got[1]["cnt_3600s"] == 1 and got[1]["sum_value_3600s"] == 10.0
+    assert got[2]["cnt_3600s"] == 2 and got[2]["sum_value_3600s"] == 15.0
+    assert got[3]["cnt_3600s"] == 1 and got[3]["sum_value_3600s"] == 2.0
+    assert got[4]["cnt_3600s"] == 1
