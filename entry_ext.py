@@ -817,6 +817,52 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value", "cnt_3600s", "sum_value_3600s")
     q["events_rolling_1h"] = events_rolling
 
+    # STREAMING CDC: the same base/u1/u2 change feed as
+    # snapshot_merge_upsert arrives as one file per microbatch (mtime-
+    # ordered); the folded table must equal the declarative SQL merge —
+    # the entry shares that oracle verbatim.
+    def kg_streaming_upsert(spark, sf_dir):
+        key = (id(spark), sf_dir)
+        if key not in _SUP_CACHE:
+            import tempfile
+            import time as _time
+
+            from shacl_dqa_prototype_spark.sources.snapshots import (
+                SnapshotTable,
+            )
+            from shacl_dqa_prototype_spark.streaming.ingest import (
+                start_streaming_upsert,
+            )
+
+            orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+            u1 = orders.filter("o_orderkey % 7 = 0").select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"))
+            u2 = orders.filter("o_orderkey % 13 = 0").select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_custkey",
+                (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            ).unionByName(orders.filter("o_orderkey % 21 = 0").select(
+                "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") + 5000).alias("o_totalprice")))
+            root = tempfile.mkdtemp(prefix="sup_")
+            in_dir = os.path.join(root, "in")
+            for i, df in enumerate((base, u1, u2)):
+                p = os.path.join(in_dir, f"b{i}")
+                df.repartition(1).write.mode("overwrite").parquet(p)
+                _time.sleep(0.05)
+                for f in os.listdir(p):
+                    os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+            tbl = SnapshotTable(spark, os.path.join(root, "tbl"), base.schema)
+            start_streaming_upsert(
+                spark, in_dir + "/*", tbl, "o_orderkey", base.schema,
+                os.path.join(root, "ckpt"), max_files_per_trigger=1,
+            ).awaitTermination()
+            _SUP_CACHE[key] = tbl.read().cache()
+        return _SUP_CACHE[key]
+    q["kg_streaming_upsert"] = kg_streaming_upsert
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -877,6 +923,7 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _SDQA_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SUP_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _streaming_dqa_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1692,5 +1739,7 @@ def ext_oracles() -> dict[str, str]:
     o["incremental_dqa_range"] = o["shape2_correct_range_dt"]
     o["incremental_dqa_misuse"] = o["shape2_misuse_dt"]
     o["incremental_dqa_domain"] = o["shape2_correct_domain"]
+    # the streamed CDC fold must land the same table as the batch merge
+    o["kg_streaming_upsert"] = o["snapshot_merge_upsert"]
 
     return o

@@ -244,3 +244,66 @@ def start_streaming_dqa(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    table,
+    key_col: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+    maintain_every: int | None = 32,
+    compact_max_dirs: int = 64,
+    keep_snapshots: int = 8,
+) -> StreamingQuery:
+    """CDC ingestion: a stream of keyed row versions is folded into a
+    ``SnapshotTable`` one microbatch at a time via ``merge_upsert`` —
+    the table always holds exactly one (the latest) version per key and
+    every microbatch is an atomic, time-travelable commit.
+
+    Within a microbatch, ``order_col`` picks each key's winner (highest
+    value; ties → arbitrary but stable hash order is NOT assumed — give
+    it a total order per key, e.g. a change sequence number). Across
+    microbatches the later epoch wins, which is CDC arrival order.
+    Without ``order_col``, in-batch duplicate keys are an error (the
+    merge's last-writer-wins would be nondeterministic).
+
+    Restart/idempotence: each epoch commits under delta_id
+    ``<checkpoint>#<epoch>``; a replayed epoch (Spark retries foreachBatch
+    after crashes) is skipped when the table's log already carries its id
+    — the same keying the incremental-DQA state uses. Maintenance
+    (compact + expire) bounds log and dir growth exactly as in
+    start_streaming_dqa."""
+    from pyspark.sql import Window
+
+    run_id = os.path.abspath(checkpoint_dir)
+
+    def _fold(batch_df, epoch_id: int) -> None:
+        delta_id = f"{run_id}#{epoch_id}"
+        if any(s.get("delta_id") == delta_id for s in table.snapshots()):
+            return
+        b = batch_df
+        if order_col is not None:
+            w = Window.partitionBy(key_col).orderBy(F.desc(order_col))
+            b = (b.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        table.merge_upsert(b, key_col, extra={"delta_id": delta_id})
+        if maintain_every and epoch_id % maintain_every == maintain_every - 1:
+            table.compact(max_dirs=compact_max_dirs)
+            table.expire_snapshots(keep_last=keep_snapshots)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

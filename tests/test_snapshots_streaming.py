@@ -381,3 +381,54 @@ def test_merge_upsert_last_writer_wins_and_prunes(spark, tmp_path):
     # bucket-layout mismatch is an error, not silent corruption
     with pytest.raises(ValueError):
         t.merge_upsert(spark.createDataFrame([("k1", 0)], schema), "n")
+
+
+def test_streaming_upsert_cdc(spark, tmp_path):
+    """CDC stream -> merge_upsert per epoch: latest version per key wins,
+    re-draining the same checkpoint is a no-op, history stays bounded."""
+    import time as _time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_streaming_upsert,
+    )
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", LongType(), False),
+                         StructField("seq", LongType(), False)])
+    in_dir = str(tmp_path / "in")
+    # three files with strictly increasing mtimes = three ordered epochs
+    batches = [
+        [(f"k{i}", 1, 10 + i) for i in range(8)],                 # insert
+        [("k1", 100, 20), ("k1", 50, 19), ("knew", 7, 21)],       # in-batch dup
+        [("k1", 777, 30), ("k5", 5, 31)],                         # later epoch wins
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(in_dir, f"b{i}")
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.mode("overwrite").parquet(p)
+        _time.sleep(0.05)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+
+    tbl = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    ck = str(tmp_path / "ckpt")
+    start_streaming_upsert(
+        spark, in_dir + "/*", tbl, "k", schema, ck, order_col="seq",
+        max_files_per_trigger=1, maintain_every=1, compact_max_dirs=1,
+        keep_snapshots=2,
+    ).awaitTermination(180)
+    got = {r["k"]: (r["n"], r["seq"]) for r in tbl.read().collect()}
+    assert len(got) == 9
+    assert got["k1"] == (777, 30)     # epoch 3 overrode epoch 2's winner
+    assert got["knew"] == (7, 21)
+    assert got["k5"] == (5, 31)
+    assert got["k2"] == (1, 12)
+    n_snaps = len(tbl.snapshots())
+    assert n_snaps <= 4               # maintenance bounded the log
+    # a fresh drain over the same checkpoint replays nothing
+    start_streaming_upsert(
+        spark, in_dir + "/*", tbl, "k", schema, ck, order_col="seq",
+        max_files_per_trigger=1,
+    ).awaitTermination(120)
+    assert {r["k"]: (r["n"], r["seq"]) for r in tbl.read().collect()} == got
