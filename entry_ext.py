@@ -749,6 +749,18 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return k_hop_reachability(edges, seeds, k=3, directed=False)
     q["kg_k_hop"] = kg_khop
 
+    def kg_pr(spark, sf_dir):
+        import __spark_entry__ as core
+
+        from shacl_dqa_prototype_spark.operators.traversal import pagerank
+
+        T = core._triples(spark, sf_dir)
+        edges = T.filter(
+            (F.col("o_kind") == "iri") & (F.col("p") != "rdf:type")
+        ).select(F.col("s").alias("src"), F.col("o").alias("dst")).distinct()
+        return pagerank(edges, damping=0.85, iterations=5)
+    q["kg_pagerank"] = kg_pr
+
     def snap_upsert(spark, sf_dir):
         import tempfile
 
@@ -1554,6 +1566,36 @@ def ext_oracles() -> dict[str, str]:
       UNION ALL SELECT node, 3 FROM h3)
     SELECT node, CAST(min(h) AS INT) AS min_hops
     FROM allh GROUP BY node""".replace("{__T__}", _CORE_TRIPLES_SQL)
+
+    # PageRank: the power iteration UNROLLED — per iteration one dangling
+    # scalar, one contribution aggregate, one rank update, mirroring the
+    # Spark loop term-for-term so the doubles agree to far below round(6)
+    _pr_iters = []
+    for i in range(1, 6):
+        _pr_iters.append(f"""
+    d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r{i - 1} WHERE deg = 0),
+    c{i} AS (
+      SELECT e.b AS node, SUM(r.rank / r.deg) AS s
+      FROM r{i - 1} r JOIN e ON r.node = e.a WHERE r.deg > 0 GROUP BY e.b),
+    r{i} AS (
+      SELECT n.node, n.deg,
+             0.15 / (SELECT n FROM nn)
+             + 0.85 * (COALESCE(c.s, 0)
+                       + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+      FROM r0 n LEFT JOIN c{i} c USING (node))""")
+    o["kg_pagerank"] = (f"""
+    WITH triples AS ({_CORE_TRIPLES_SQL}),
+    e AS (
+      SELECT DISTINCT s AS a, o AS b FROM triples
+      WHERE o_kind = 'iri' AND p <> 'rdf:type'),
+    nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    dg AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+    r0 AS (
+      SELECT node, COALESCE(deg, 0) AS deg, 1.0 / (SELECT n FROM nn) AS rank
+      FROM nodes LEFT JOIN dg ON node = a),"""
+      + ",".join(_pr_iters)
+      + "\n    SELECT node, round(rank, 6) AS rank FROM r5")
 
     # merge_upsert: the table state after overwrite + two keyed merges
     # must equal the declarative last-writer-wins relation

@@ -59,3 +59,68 @@ def k_hop_reachability(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return visited
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank by power iteration — entity salience over the KG (which
+    entities to keep context for, which to salt in joins).
+
+    Returns (node, rank) over every node appearing as source or target;
+    ranks sum to 1. Dangling nodes (no out-edges) redistribute their mass
+    uniformly each iteration, the standard correction that keeps the
+    total at 1.
+
+    Scale shape per iteration: ONE join of ranks against the edge table
+    on the source id and ONE groupBy(dst) with map-side partial sums —
+    both shuffle on node ids (salt-friendly); the dangling mass is a
+    scalar aggregate broadcast into the next iteration. localCheckpoint
+    after every iteration keeps the plan O(1) deep instead of O(iters);
+    `iterations` is a fixed count, so the job is deterministic and
+    oracle-checkable (no convergence race)."""
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.count()
+    out_deg = e.groupBy("a").agg(F.count("*").alias("deg"))
+    # ranks live co-keyed with the edge source; deg rides along so the
+    # per-iteration contribution needs no extra join
+    ranks = nodes.join(out_deg, nodes["node"] == out_deg["a"], "left").select(
+        "node", F.coalesce("deg", F.lit(0)).alias("deg"),
+        F.lit(1.0 / n_total).alias("rank"),
+    ).localCheckpoint()
+    base = (1.0 - damping) / n_total
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        contrib = (
+            ranks.filter(F.col("deg") > 0)
+            .join(e, ranks["node"] == e["a"])
+            .select(F.col("b").alias("node"),
+                    (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("node", "deg")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node", "deg",
+                (F.lit(base)
+                 + F.lit(damping)
+                 * (F.coalesce("s", F.lit(0.0))
+                    + F.col("dm") / n_total)).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

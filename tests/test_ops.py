@@ -682,3 +682,27 @@ def test_rolling_window_features(spark):
     assert got[2]["cnt_3600s"] == 2 and got[2]["sum_value_3600s"] == 15.0
     assert got[3]["cnt_3600s"] == 1 and got[3]["sum_value_3600s"] == 2.0
     assert got[4]["cnt_3600s"] == 1
+
+
+def test_pagerank_analytic(spark):
+    from shacl_dqa_prototype_spark.operators.traversal import pagerank
+
+    # a -> b with b dangling; hand-computed two iterations:
+    # r0 = (.5, .5); dm=.5 -> r_a = .075+.85*.25 = .2875,
+    #                         r_b = .075+.85*(.5+.25) = .7125
+    # dm=.7125     -> r_a = .075+.85*.35625 = .3778125,
+    #                 r_b = .075+.85*(.2875+.35625) = .6222875... recomputed below
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iterations=2).collect()}
+    exp_a = 0.075 + 0.85 * (0.7125 / 2)
+    exp_b = 0.075 + 0.85 * (0.2875 + 0.7125 / 2)
+    # Spark rounds HALF_UP, Python HALF_EVEN: allow one ulp at 1e-6
+    assert abs(got["a"] - exp_a) < 2e-6
+    assert abs(got["b"] - exp_b) < 2e-6
+    # mass conserved through the dangling redistribution
+    assert abs(got["a"] + got["b"] - 1.0) < 3e-6
+    # a 2-cycle is stationary at uniform rank for any iteration count
+    cyc = spark.createDataFrame([("x", "y"), ("y", "x")], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(cyc, iterations=7).collect()}
+    assert ranks == {"x": 0.5, "y": 0.5}
