@@ -92,26 +92,36 @@ class SnapshotTable:
     # ---- commits --------------------------------------------------------
 
     def _write_data(self, df: DataFrame, bucket_col: str | None,
-                    n_buckets: int) -> str:
-        """Step 1: write the (invisible) data directory for this commit."""
+                    n_buckets: int,
+                    sort_cols: list[str] | None = None) -> str:
+        """Step 1: write the (invisible) data directory for this commit.
+        ``sort_cols`` clusters rows within each output partition AFTER the
+        bucket repartition (the repartition would otherwise destroy the
+        order), tightening parquet row-group min/max stats."""
         dirname = uuid.uuid4().hex[:16]
         path = os.path.join(self.data_dir, dirname)
         if bucket_col:
-            (
-                df.withColumn(
-                    "_bucket", F.pmod(F.xxhash64(bucket_col), F.lit(n_buckets)))
-                .repartition("_bucket")
-                .write.mode("overwrite").partitionBy("_bucket").parquet(path)
-            )
+            out = df.withColumn(
+                "_bucket", F.pmod(F.xxhash64(bucket_col), F.lit(n_buckets))
+            ).repartition("_bucket")
+            if sort_cols:
+                # _bucket must LEAD the sort: the dynamic-partition writer
+                # requires rows sorted by the partition column and would
+                # otherwise insert its own (_bucket-only) sort on top,
+                # destroying the secondary order
+                out = out.sortWithinPartitions("_bucket", *sort_cols)
+            out.write.mode("overwrite").partitionBy("_bucket").parquet(path)
         else:
-            df.write.mode("overwrite").parquet(path)
+            out = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+            out.write.mode("overwrite").parquet(path)
         return dirname
 
     def _commit(self, df: DataFrame, operation: str,
                 bucket_col: str | None, n_buckets: int,
-                extra: dict | None = None) -> str:
+                extra: dict | None = None,
+                sort_cols: list[str] | None = None) -> str:
         parent = self.current()
-        dirname = self._write_data(df, bucket_col, n_buckets)
+        dirname = self._write_data(df, bucket_col, n_buckets, sort_cols)
         dirs = [dirname] if operation == "overwrite" else (
             (parent["dirs"] if parent else []) + [dirname]
         )
@@ -140,6 +150,9 @@ class SnapshotTable:
             **({"dir_buckets": dir_buckets} if dir_buckets else {}),
             "bucket_col": bucket_col,
             "n_buckets": n_buckets if bucket_col else None,
+            # every record carries the in-force schema so vacuuming an old
+            # evolve_schema record can never orphan the evolution
+            "schema": json.dumps(self.schema.jsonValue()),
             **(extra or {}),
         })
         return snapshot_id
@@ -227,6 +240,54 @@ class SnapshotTable:
             raise KeyError(f"unknown snapshot {snapshot_id!r}")
         return snap
 
+    def _schema_at(self, snap: dict | None) -> StructType:
+        """The schema in force at ``snap``: the latest ``schema`` carried
+        by the log at or before it (evolve_schema records one), falling
+        back to the constructor schema — so time travel to a pre-evolution
+        snapshot reads with the columns that existed THEN."""
+        if snap is None:
+            return self.schema
+        found = self.schema
+        for s in self.snapshots():
+            if "schema" in s:
+                found = StructType.fromJson(json.loads(s["schema"]))
+            if s["snapshot_id"] == snap["snapshot_id"]:
+                break
+        return found
+
+    def evolve_schema(self, new_schema: StructType) -> str:
+        """Add-column schema evolution (the Iceberg evolution case this
+        pipeline needs): every existing field must survive unchanged —
+        new fields are appended and read as NULL from pre-evolution data
+        files (explicit-schema parquet reads fill missing columns), so no
+        data is rewritten. The evolution is itself a commit: an O(1) log
+        append referencing the parent's dirs verbatim, time-travelable
+        like any other snapshot."""
+        old = {f.name: f.dataType for f in self.schema.fields}
+        new = {f.name: f.dataType for f in new_schema.fields}
+        for name, dtype in old.items():
+            if name not in new or new[name] != dtype:
+                raise ValueError(
+                    f"schema evolution may only ADD fields; {name!r} "
+                    "was removed or retyped")
+        parent = self.current()
+        snapshot_id = uuid.uuid4().hex[:16]
+        self._append_log({
+            "snapshot_id": snapshot_id,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "ts": time.time(),
+            "operation": "evolve_schema",
+            "schema": json.dumps(new_schema.jsonValue()),
+            "dirs": parent["dirs"] if parent else [],
+            "dir_layouts": (parent or {}).get("dir_layouts") or {},
+            **({"dir_buckets": parent["dir_buckets"]}
+               if parent and parent.get("dir_buckets") else {}),
+            "bucket_col": (parent or {}).get("bucket_col"),
+            "n_buckets": (parent or {}).get("n_buckets"),
+        })
+        self.schema = new_schema
+        return snapshot_id
+
     def _resolve_paths(self, snap: dict,
                        buckets: set[int] | None = None) -> list[str]:
         """Concrete read paths for a snapshot: unbucketed dirs as roots,
@@ -264,12 +325,13 @@ class SnapshotTable:
         `_bucket=k` leaf dirs directly sidesteps Spark's mixed-root
         partition-discovery restriction entirely."""
         snap = self._resolve_snapshot(snapshot_id)
+        schema = self._schema_at(snap)
         if snap is None or not snap["dirs"]:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], schema)
         paths = self._resolve_paths(snap)
         if not paths:
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(*paths)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def read_buckets(self, buckets, snapshot_id: str | None = None) -> DataFrame:
         """Read only the given buckets — pruning happens at the PATH level
@@ -277,12 +339,13 @@ class SnapshotTable:
         32 buckets scans ~1/16th of the table's files. Unbucketed dirs in
         the chain (if any) are always included for correctness."""
         snap = self._resolve_snapshot(snapshot_id)
+        schema = self._schema_at(snap)
         if snap is None or not snap["dirs"]:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], schema)
         paths = self._resolve_paths(snap, buckets={int(b) for b in buckets})
         if not paths:
-            return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.schema(self.schema).parquet(*paths)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     def merge_upsert(
         self, updates: DataFrame, key_col: str,
@@ -325,19 +388,30 @@ class SnapshotTable:
 
     # ---- maintenance ----------------------------------------------------
 
-    def compact(self, max_dirs: int = 16) -> str | None:
+    def compact(self, max_dirs: int = 16,
+                sort_cols: list[str] | None = None) -> str | None:
         """If the current snapshot references more than ``max_dirs`` data
         dirs, fold everything into ONE overwrite commit (keeping the
         current bucket layout). Bounds driver-side path resolution and
         file counts on long append chains; returns the new snapshot id or
-        None if no compaction was needed."""
+        None if no compaction was needed.
+
+        ``sort_cols`` additionally clusters the rewrite within each
+        partition (sortWithinPartitions) — Iceberg's sort-ordered rewrite:
+        parquet row-group min/max stats on the sort columns become tight,
+        so subsequent filtered reads skip row groups instead of scanning
+        them (pushed filters prune on the stats). Sorting is per-partition
+        (no extra shuffle) — bucketing still owns placement; the sort owns
+        within-file clustering."""
         snap = self.current()
         if snap is None or len(snap["dirs"]) <= max_dirs:
             return None
-        return self.commit_overwrite(
-            self.read(), bucket_col=snap.get("bucket_col"),
-            n_buckets=snap.get("n_buckets") or 32,
-            extra={"compacted_from": len(snap["dirs"])})
+        return self._commit(
+            self.read(), "overwrite", snap.get("bucket_col"),
+            snap.get("n_buckets") or 32,
+            extra={"compacted_from": len(snap["dirs"]),
+                   **({"sort_cols": sort_cols} if sort_cols else {})},
+            sort_cols=sort_cols)
 
     def expire_snapshots(self, keep_last: int = 1,
                          orphan_grace_s: float = 3600.0) -> list[str]:

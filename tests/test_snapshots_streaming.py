@@ -432,3 +432,69 @@ def test_streaming_upsert_cdc(spark, tmp_path):
         max_files_per_trigger=1,
     ).awaitTermination(120)
     assert {r["k"]: (r["n"], r["seq"]) for r in tbl.read().collect()} == got
+
+
+def test_sorted_compaction_clusters_files(spark, tmp_path):
+    """compact(sort_cols=...) rewrites with rows clustered inside each
+    file, so parquet row-group stats become tight (pruning-friendly)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType(), False),
+                         StructField("v", LongType(), False)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    # several appends of interleaved keys -> unclustered files
+    for lo in range(4):
+        t.commit_append(
+            spark.createDataFrame(
+                [(i * 4 + lo, i) for i in range(200)], schema),
+            bucket_col="k", n_buckets=4)
+    before = t.read().count()
+    assert t.compact(max_dirs=1, sort_cols=["k"]) is not None
+    assert t.read().count() == before
+    assert t.current()["sort_cols"] == ["k"]
+    dirname = t.current()["dirs"][0]
+    files = glob.glob(os.path.join(t.data_dir, dirname, "**", "*.parquet"),
+                      recursive=True)
+    assert files
+    for f in files:
+        ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+        assert ks == sorted(ks), f
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """evolve_schema: appended fields read as NULL from old files, time
+    travel sees the old shape, removal/retype refused."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v1 = StructType([StructField("k", StringType(), False),
+                     StructField("n", LongType(), False)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), v1)
+    s1 = t.commit_append(
+        spark.createDataFrame([("a", 1), ("b", 2)], v1), bucket_col="k",
+        n_buckets=4)
+    v2 = StructType(v1.fields + [StructField("extra", StringType(), True)])
+    t.evolve_schema(v2)
+    t.commit_append(
+        spark.createDataFrame([("c", 3, "new")], v2), bucket_col="k",
+        n_buckets=4)
+    got = {r["k"]: (r["n"], r["extra"]) for r in t.read().collect()}
+    assert got == {"a": (1, None), "b": (2, None), "c": (3, "new")}
+    # time travel to the pre-evolution snapshot: old columns only
+    assert t.read(s1).columns == ["k", "n"]
+    # bucket-pruned reads see the evolved schema too
+    assert "extra" in t.read_buckets(range(4)).columns
+    with pytest.raises(ValueError):
+        t.evolve_schema(v1)  # dropping 'extra' is a removal
+    with pytest.raises(ValueError):
+        t.evolve_schema(StructType([StructField("k", LongType(), False),
+                                    StructField("n", LongType(), False),
+                                    StructField("extra", StringType(), True)]))
