@@ -110,6 +110,9 @@ SWEEP = [
     "pipe_global_shuffle", "text_repetition", "text_length_profile",
     "kg_extract_mentions", "kg_link_entities", "kg_media_features",
     "events_sessionize", "rdf_ntriples_roundtrip",
+    "text_vocab_top_tokens", "text_quality_gate", "pipe_source_filter",
+    "dedup_dup_ngram_fraction", "events_asof_join", "events_rolling_1h",
+    "pipe_mixture_plan", "dedup_keep_best",
 ]
 
 
@@ -121,3 +124,38 @@ def test_no_rowwise_python_or_cartesian(spark, contract, name):
     s = _explain(spark, contract[name](spark, SF))
     assert "BatchEvalPython" not in s, f"{name}: row-wise Python UDF"
     assert "CartesianProduct" not in s, f"{name}: cartesian join"
+
+
+def test_quality_gate_has_no_exchange(spark, contract):
+    """quality_gate promises a single narrow map over the corpus — any
+    Exchange in its plan is a regression."""
+    s = _explain(spark, contract["text_quality_gate"](spark, SF))
+    assert _op_count(s, "Exchange") == 0
+
+
+def test_asof_join_is_joinless_one_window(spark, contract):
+    """asof_join promises UNION + window: zero join operators, and the
+    only exchanges are the window partitioning (plus the tiny right-side
+    dedup the entry does)."""
+    s = _explain(spark, contract["events_asof_join"](spark, SF))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert _op_count(s, j) == 0, j
+    assert _op_count(s, "Window") >= 1
+    assert _op_count(s, "Exchange") <= 2
+
+
+def test_vocab_top_tokens_take_ordered(spark, contract):
+    """Global top-k must be TakeOrdered (per-partition heap + k-row driver
+    merge), never a global Sort across the full token table."""
+    s = _explain(spark, contract["text_vocab_top_tokens"](spark, SF))
+    assert _op_count(s, "TakeOrderedAndProject") == 1
+    assert "partial_count" in s  # map-side combine before the shuffle
+
+
+def test_dup_ngram_fraction_bounded_shuffles(spark, contract):
+    """The frequency-join-free formulation: bounded exchanges (agg,
+    shingle window, doc agg, join alignment), no shingle self-join."""
+    s = _explain(spark, contract["dedup_dup_ngram_fraction"](spark, SF))
+    assert _op_count(s, "Exchange") <= 5
+    assert "partial_count" in s
