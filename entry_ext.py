@@ -761,6 +761,19 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank(edges, damping=0.85, iterations=5)
     q["kg_pagerank"] = kg_pr
 
+    def kg_path(spark, sf_dir):
+        import __spark_entry__ as core
+
+        from shacl_dqa_prototype_spark.operators.traversal import (
+            follow_property_path,
+        )
+
+        # supplier ^hasSupplier order hasCustomer customer inNation nation
+        return follow_property_path(
+            core._triples(spark, sf_dir),
+            ["^urn:p:hasSupplier", "urn:p:hasCustomer", "urn:p:inNation"])
+    q["kg_property_path"] = kg_path
+
     def snap_upsert(spark, sf_dir):
         import tempfile
 
@@ -1596,6 +1609,17 @@ def ext_oracles() -> dict[str, str]:
       FROM nodes LEFT JOIN dg ON node = a),"""
       + ",".join(_pr_iters)
       + "\n    SELECT node, round(rank, 6) AS rank FROM r5")
+
+    o["kg_property_path"] = f"""
+    WITH triples AS ({_CORE_TRIPLES_SQL}),
+    e0 AS (SELECT o AS src, s AS dst FROM triples
+           WHERE p = 'urn:p:hasSupplier' AND o_kind = 'iri'),
+    e1 AS (SELECT s, o FROM triples
+           WHERE p = 'urn:p:hasCustomer' AND o_kind = 'iri'),
+    e2 AS (SELECT s, o FROM triples
+           WHERE p = 'urn:p:inNation' AND o_kind = 'iri')
+    SELECT DISTINCT e0.src AS src, e2.o AS dst
+    FROM e0 JOIN e1 ON e0.dst = e1.s JOIN e2 ON e1.o = e2.s"""
 
     # merge_upsert: the table state after overwrite + two keyed merges
     # must equal the declarative last-writer-wins relation

@@ -124,3 +124,44 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def follow_property_path(
+    triples: DataFrame,
+    path: list[str],
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL-style property-path evaluation over the triple table:
+    ``path`` is a sequence of predicate IRIs, each optionally prefixed
+    with ``^`` for an inverse step — e.g.
+    ``["^urn:p:hasSupplier", "urn:p:hasCustomer", "urn:p:inNation"]``
+    yields (supplier, nation) pairs connected via their shared orders.
+    Returns (src, dst); ``distinct`` collapses multiple witness paths
+    (SPARQL path semantics).
+
+    Scale shape: k-1 equi-joins, one per step, each joining the previous
+    frontier against ONLY that step's predicate slice — the predicate
+    filter is pushed into the scan, so a path over rare predicates never
+    touches the bulk of the table; intermediate frontiers carry exactly
+    two columns. Joins shuffle on entity ids (salt-friendly, AQE-sized);
+    per-step DISTINCT caps frontier blowup on diamond-shaped data."""
+    if not path:
+        raise ValueError("empty property path")
+
+    def step(p: str) -> DataFrame:
+        inv = p.startswith("^")
+        pred = p[1:] if inv else p
+        e = triples.filter(
+            (F.col("p") == pred) & (F.col("o_kind") == "iri"))
+        return (e.select(F.col("o").alias("src"), F.col("s").alias("dst"))
+                if inv else
+                e.select(F.col("s").alias("src"), F.col("o").alias("dst")))
+
+    cur = step(path[0])
+    for p in path[1:]:
+        nxt = step(p).withColumnsRenamed({"src": "_m", "dst": "_d"})
+        cur = cur.join(nxt, cur["dst"] == nxt["_m"]).select(
+            "src", F.col("_d").alias("dst"))
+        if distinct:
+            cur = cur.distinct()
+    return cur.distinct() if distinct else cur

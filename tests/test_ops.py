@@ -706,3 +706,27 @@ def test_pagerank_analytic(spark):
     cyc = spark.createDataFrame([("x", "y"), ("y", "x")], ["src", "dst"])
     ranks = {r["node"]: r["rank"] for r in pagerank(cyc, iterations=7).collect()}
     assert ranks == {"x": 0.5, "y": 0.5}
+
+
+def test_follow_property_path(spark):
+    from shacl_dqa_prototype_spark.operators.traversal import (
+        follow_property_path,
+    )
+
+    rows = [
+        ("o1", "hasC", "c1", "iri"), ("o1", "hasS", "s1", "iri"),
+        ("o2", "hasC", "c2", "iri"), ("o2", "hasS", "s1", "iri"),
+        ("c1", "inN", "n1", "iri"), ("c2", "inN", "n1", "iri"),
+        ("c1", "label", "Customer One", "literal"),  # non-iri never followed
+    ]
+    T = spark.createDataFrame(rows, ["s", "p", "o", "o_kind"])
+    got = {(r["src"], r["dst"]) for r in follow_property_path(
+        T, ["^hasS", "hasC", "inN"]).collect()}
+    # s1 reaches n1 via two witness orders -> ONE distinct row
+    assert got == {("s1", "n1")}
+    multi = follow_property_path(T, ["^hasS", "hasC"], distinct=False)
+    assert multi.count() == 2  # both witness paths kept when asked
+    import pytest
+
+    with pytest.raises(ValueError):
+        follow_property_path(T, [])
