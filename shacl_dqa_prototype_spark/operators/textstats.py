@@ -538,7 +538,8 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: ZERO shuffles — both signals only need the row's own
     words, so they are computed with higher-order array expressions
     (array_sort + run-length fold), O(n log n) per row, map-side only,
-    whole-stage codegen. The distributed-groupBy formulation (explode →
+    fully JVM-side (higher-order functions evaluate outside whole-stage
+    codegen but never touch Python). The distributed-groupBy formulation (explode →
     groupBy(doc, word)) would shuffle every token; this never leaves the
     row. Reference scope: quality filtering is part of the training-data
     pipeline suite, not the rdflib reference."""
@@ -674,7 +675,8 @@ def quality_gate(
 
     Scale shape: ZERO shuffles — every rule needs only the row's own
     words. The dup-word fraction reuses the sorted-array run-length trick
-    from repetition_stats (O(n log n) per row, stays in codegen); the
+    from repetition_stats (O(n log n) per row, JVM-side — higher-order
+    functions sit outside whole-stage codegen but never touch Python); the
     whole operator is one narrow map over the corpus, so at 100 TB it
     pipelines with the scan and writes its verdicts without a single
     exchange. Verdicts are emitted for EVERY doc (not just keepers) so
