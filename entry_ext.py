@@ -774,6 +774,48 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["^urn:p:hasSupplier", "urn:p:hasCustomer", "urn:p:inNation"])
     q["kg_property_path"] = kg_path
 
+    # --- C4/C5 contextual URI shapes + C30 nodeKind ranges: previously
+    # pytest-only; these entries run the REAL compiled plan with the
+    # gated configs/vocab kinds and oracle the violation sets exactly.
+    def _ctx_violations(spark, sf_dir, metric):
+        import dataclasses
+
+        key = (id(spark), sf_dir)
+        if key not in _CTX_V_CACHE:
+            cfg = dataclasses.replace(
+                CFG2,
+                uri_regex_pattern=r"urn:d2:[a-z]+[/#][0-9]+$",
+                uri_space="urn:d2:")
+            plan = compile_data_constraints(
+                _t2(spark, sf_dir), ENTRY_VOCAB2, [], cfg)
+            _CTX_V_CACHE[key] = plan.violations.cache()
+        return (_CTX_V_CACHE[key].filter(F.col("metric") == metric)
+                .select("focus").distinct())
+
+    q["shape2_uri_regex"] = (
+        lambda s, d: _ctx_violations(s, d, "URIRegexComplianceEntities"))
+    q["shape2_uri_space"] = (
+        lambda s, d: _ctx_violations(s, d, "URISpaceComplianceEntities"))
+
+    def shape_nodekind(spark, sf_dir):
+        # madeBy: object_property ranged owl:Thing → nodeKind
+        # BlankNodeOrIRI (literal objects violate); sameAs: rdf_property
+        # ranged rdfs:Literal → nodeKind Literal (IRI objects violate)
+        key = (id(spark), sf_dir)
+        if key not in _NK_V_CACHE:
+            vocab3 = [
+                VocabTerm("urn:p2:madeBy", "object_property",
+                          range="http://www.w3.org/2002/07/owl#Thing"),
+                VocabTerm("urn:p2:sameAs", "rdf_property",
+                          range=f"{RDFS}Literal", range_kind="literal"),
+            ]
+            plan = compile_data_constraints(
+                _t2(spark, sf_dir), vocab3, [], CFG2)
+            _NK_V_CACHE[key] = plan.violations.cache()
+        return (_NK_V_CACHE[key].filter(F.col("metric") == "CorrectRange")
+                .select("item", "focus").distinct())
+    q["shape2_range_nodekind"] = shape_nodekind
+
     def snap_upsert(spark, sf_dir):
         import tempfile
 
@@ -949,6 +991,8 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SDQA_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SUP_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CTX_V_CACHE: dict[tuple[int, str], DataFrame] = {}
+_NK_V_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _streaming_dqa_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,6 +1101,31 @@ def ext_oracles() -> dict[str, str]:
 
     o["shape2_schema_completeness"] = """
     SELECT 'urn:c2:Unused' AS focus"""
+
+    # C4: entities failing ^urn:d2:[a-z]+[/#][0-9]+$ — query-string parts,
+    # bnode parts (pattern constraints always fail bnodes), long-URI parts
+    o["shape2_uri_regex"] = f"""
+    SELECT DISTINCT {PART_S} AS focus FROM part
+    WHERE p_partkey % 17 = 0
+       OR (p_partkey % 19 = 0 AND p_partkey % 17 <> 0)
+       OR (p_partkey % 13 = 0 AND p_partkey % 17 <> 0
+           AND p_partkey % 19 <> 0)"""
+
+    # C5: entities outside the urn:d2: URI space — only the bnode parts
+    o["shape2_uri_space"] = f"""
+    SELECT DISTINCT {PART_S} AS focus FROM part
+    WHERE p_partkey % 19 = 0 AND p_partkey % 17 <> 0"""
+
+    # C30: madeBy (nodeKind BlankNodeOrIRI) violated by the literal-object
+    # rows; sameAs (nodeKind Literal) violated by EVERY row — both CASE
+    # branches of the sameAs seed emit IRIs
+    o["shape2_range_nodekind"] = """
+    SELECT DISTINCT 'urn:p2:madeBy' AS item,
+           concat('urn:d2:supp/', s_suppkey) AS focus
+    FROM supplier WHERE s_suppkey % 9 = 0
+    UNION
+    SELECT 'urn:p2:sameAs', concat('urn:d2:supp/', s_suppkey)
+    FROM supplier"""
 
     # long URIs plus bnode entities (sh:maxLength fails for bnodes)
     o["shape2_uris_length"] = f"""
