@@ -812,6 +812,8 @@ def oracle_sql() -> dict[str, str]:
     o.update(ext_oracles())
     # incremental DQA derives the same violation sets from mergeable state
     # (+ the monotone log), so those entries share the batch oracles
+    # incremental LSH index union == batch LSH candidate generation
+    o["kg_streaming_neardup"] = o["dedup_minhash_lsh"]
     o["incremental_dqa_label"] = o["shape_label_for_entities"]
     o["streaming_dqa_label"] = o["shape_label_for_entities"]
     o["incremental_dqa_scores"] = o["dqa_scores"]

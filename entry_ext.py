@@ -930,6 +930,61 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _SUP_CACHE[key]
     q["kg_streaming_upsert"] = kg_streaming_upsert
 
+    # STREAMING NEAR-DUP: the corpus arrives in batches; each batch is
+    # matched against the accumulated LSH index then folded in. The union
+    # of per-epoch pairs must equal batch minhash_lsh_candidates over the
+    # whole corpus — shares the dedup_minhash_lsh oracle verbatim.
+    def kg_streaming_neardup(spark, sf_dir):
+        key = (id(spark), sf_dir)
+        if key not in _SND_CACHE:
+            import tempfile
+
+            from pyspark.sql.types import (
+                IntegerType,
+                LongType,
+                StructField,
+                StructType,
+            )
+            from shacl_dqa_prototype_spark.sources.snapshots import (
+                SnapshotTable,
+            )
+            from shacl_dqa_prototype_spark.streaming.ingest import (
+                start_streaming_neardup,
+            )
+
+            d = _docs_flat(spark, sf_dir)
+            root = tempfile.mkdtemp(prefix="snd_")
+            in_dir = os.path.join(root, "in")
+            # two mtime-ordered halves => the index path actually runs
+            # (second epoch matches against the first's stored buckets)
+            import time as _time
+            for i, part in enumerate((d.filter("doc_id % 2 = 0"),
+                                      d.filter("doc_id % 2 = 1"))):
+                p = os.path.join(in_dir, f"b{i}")
+                part.repartition(1).write.mode("overwrite").parquet(p)
+                _time.sleep(0.05)
+                for f in os.listdir(p):
+                    os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+            idx_schema = StructType([
+                StructField("doc_id", LongType(), True),
+                StructField("band", IntegerType(), True),
+                StructField("bucket", LongType(), True)])
+            index = SnapshotTable(spark, os.path.join(root, "idx"),
+                                  idx_schema)
+            pairs_schema = StructType([
+                StructField("doc_a", LongType(), True),
+                StructField("doc_b", LongType(), True)])
+            pairs = SnapshotTable(spark, os.path.join(root, "pairs"),
+                                  pairs_schema)
+            start_streaming_neardup(
+                spark, in_dir + "/*", index, pairs,
+                os.path.join(root, "ckpt"), n=5, portable=True,
+                schema=d.schema, max_files_per_trigger=1,
+            ).awaitTermination()
+            _SND_CACHE[key] = pairs.read().distinct().cache()
+        return _SND_CACHE[key]
+    q["kg_streaming_neardup"] = kg_streaming_neardup
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -992,6 +1047,7 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SDQA_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SUP_CACHE: dict[tuple[int, str], DataFrame] = {}
 _CTX_V_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SND_CACHE: dict[tuple[int, str], DataFrame] = {}
 _NK_V_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 

@@ -135,17 +135,16 @@ def minhash_signatures(
     return agg
 
 
-def minhash_lsh_candidates(
+def lsh_bucket_rows(
     docs: DataFrame, n: int = 3, num_hashes: int = 64, bands: int = 16,
     id_col: str = "doc_id", text_col: str = "text", portable: bool = False,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` rows-per-band chunks,
-    bucket = hash(band_id, chunk); docs sharing any bucket are candidates.
-    The only join is bucket-equi — candidate volume is bounded by bucket
-    sizes, never O(n²)."""
+    """(doc_id, band, bucket) LSH bucket membership — the shared substrate
+    of batch candidate generation and the streaming near-dup index:
+    bucket = hash of the band's signature chunk."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes, id_col, text_col, portable)
-    buckets = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -168,6 +167,18 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 3, num_hashes: int = 64, bands: int = 16,
+    id_col: str = "doc_id", text_col: str = "text", portable: bool = False,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` rows-per-band chunks,
+    bucket = hash(band_id, chunk); docs sharing any bucket are candidates.
+    The only join is bucket-equi — candidate volume is bounded by bucket
+    sizes, never O(n²)."""
+    buckets = lsh_bucket_rows(docs, n, num_hashes, bands, id_col, text_col,
+                              portable)
     a = buckets.withColumnsRenamed({"doc_id": "doc_a"})
     b = buckets.withColumnsRenamed({"doc_id": "doc_b"})
     return (

@@ -307,3 +307,90 @@ def start_streaming_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    index,
+    pairs,
+    checkpoint_dir: str,
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    portable: bool = False,
+    n_buckets: int = 32,
+    schema=None,
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Online near-duplicate detection at ingest: every document batch is
+    MinHash/LSH-bucketed, matched against the ACCUMULATED bucket index
+    (previous batches) plus itself, and then folded into the index — so
+    duplicate pairs surface the moment the second copy arrives, without
+    ever re-scanning the corpus. The union of per-epoch pair sets equals
+    the batch ``minhash_lsh_candidates`` over the whole corpus exactly
+    (same bands, same buckets), which is how the contract oracles it.
+
+    ``index`` and ``pairs`` are SnapshotTables: (band, bucket, doc_id)
+    bucketed BY THE LSH BUCKET id, and (doc_a, doc_b) appends. Per epoch,
+    the stored index is read BUCKET-PRUNED — only the table buckets the
+    batch's LSH buckets hash into are listed (same path-level pruning as
+    merge_upsert), so a small batch against a 10⁹-doc index touches
+    ~|batch buckets|/n_buckets of the index files. Both commits are
+    delta_id-idempotent (pairs first, then index: a replayed epoch skips
+    each table it already reached)."""
+    from shacl_dqa_prototype_spark.operators.dedup import lsh_bucket_rows
+
+    run_id = os.path.abspath(checkpoint_dir)
+
+    def _fold(batch_df, epoch_id: int) -> None:
+        delta_id = f"{run_id}#{epoch_id}"
+        pairs_done = any(
+            s.get("delta_id") == delta_id for s in pairs.snapshots())
+        index_done = any(
+            s.get("delta_id") == delta_id for s in index.snapshots())
+        if pairs_done and index_done:
+            return
+        b = lsh_bucket_rows(batch_df, n, num_hashes, bands,
+                            portable=portable).localCheckpoint()
+        if not pairs_done:
+            touched = [r[0] for r in b.select(
+                F.pmod(F.xxhash64("bucket"), F.lit(n_buckets)).alias("tb")
+            ).distinct().collect()]
+            store = index.read_buckets(touched).withColumnsRenamed(
+                {"doc_id": "_old"})
+            cross = (
+                b.join(store, ["band", "bucket"])
+                .select(F.least("doc_id", "_old").alias("doc_a"),
+                        F.greatest("doc_id", "_old").alias("doc_b"))
+            )
+            left = b.withColumnsRenamed({"doc_id": "doc_a"})
+            right = b.withColumnsRenamed({"doc_id": "doc_b"})
+            within = (
+                left.join(right, ["band", "bucket"])
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .select("doc_a", "doc_b")
+            )
+            pairs.commit_append(cross.unionByName(within).distinct(),
+                                extra={"delta_id": delta_id})
+        if not index_done:
+            index.commit_append(b, bucket_col="bucket", n_buckets=n_buckets,
+                                extra={"delta_id": delta_id})
+
+    src_schema = schema
+    if src_schema is None:
+        from shacl_dqa_prototype_spark.schemas import DOCUMENTS_SCHEMA
+
+        src_schema = DOCUMENTS_SCHEMA
+    writer = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -498,3 +498,59 @@ def test_schema_evolution_add_column(spark, tmp_path):
         t.evolve_schema(StructType([StructField("k", LongType(), False),
                                     StructField("n", LongType(), False),
                                     StructField("extra", StringType(), True)]))
+
+
+def test_streaming_neardup_catches_cross_batch_dups(spark, tmp_path):
+    """A duplicate whose copies arrive in DIFFERENT batches is caught via
+    the accumulated index; re-draining the checkpoint adds nothing."""
+    import time as _time
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from shacl_dqa_prototype_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_streaming_neardup,
+    )
+
+    schema = StructType([StructField("doc_id", LongType(), False),
+                         StructField("text", StringType(), False)])
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, dup), (2, "totally different words entirely here now")],
+        [(3, dup), (4, dup + " with a small tail change")],
+    ]
+    in_dir = str(tmp_path / "in")
+    for i, rows in enumerate(batches):
+        p = os.path.join(in_dir, f"b{i}")
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.mode("overwrite").parquet(p)
+        _time.sleep(0.05)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+
+    from pyspark.sql.types import IntegerType
+    idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("band", IntegerType(), True),
+        StructField("bucket", LongType(), True)]))
+    prs = SnapshotTable(spark, str(tmp_path / "pairs"), StructType([
+        StructField("doc_a", LongType(), True),
+        StructField("doc_b", LongType(), True)]))
+    ck = str(tmp_path / "ckpt")
+    start_streaming_neardup(
+        spark, in_dir + "/*", idx, prs, ck, n=3, schema=schema,
+        max_files_per_trigger=1, n_buckets=4,
+    ).awaitTermination(180)
+    got = {(r["doc_a"], r["doc_b"]) for r in prs.read().distinct().collect()}
+    # cross-batch pair (1,3) MUST be present; equals the batch result
+    docs = spark.createDataFrame(sum(batches, []), schema)
+    exp = {(r["doc_a"], r["doc_b"]) for r in
+           minhash_lsh_candidates(docs, n=3).collect()}
+    assert (1, 3) in got and got == exp
+    before = prs.read().count()
+    start_streaming_neardup(
+        spark, in_dir + "/*", idx, prs, ck, n=3, schema=schema,
+        max_files_per_trigger=1, n_buckets=4,
+    ).awaitTermination(120)
+    assert prs.read().count() == before  # idempotent re-drain
