@@ -52,11 +52,15 @@ def k_hop_reachability(
         )
         # materialize the layer once: it feeds both the union (visited)
         # and the next join (frontier), and checkpointing flattens the
-        # k-deep lineage that would otherwise re-run every prior hop
+        # k-deep lineage that would otherwise re-run every prior hop;
+        # the superseded visited checkpoint is released right after the
+        # union materializes so only O(1) checkpoints stay pinned
         nxt = nxt.localCheckpoint()
         if not nxt.take(1):
             break
+        prev = visited
         visited = visited.unionByName(nxt).localCheckpoint()
+        prev.unpersist()
         frontier = nxt.select("node")
     return visited
 
@@ -99,6 +103,7 @@ def pagerank(
         F.lit(1.0 / n_total).alias("rank"),
     ).localCheckpoint()
     base = (1.0 - damping) / n_total
+    prev = None
     for _ in range(iterations):
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
@@ -110,7 +115,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
+        new_ranks = (
             ranks.select("node", "deg")
             .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
@@ -123,6 +128,11 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # release the superseded iteration's checkpoint (keep the initial
+        # ranks out of it only on the first round: prev is None then)
+        if prev is not None:
+            prev.unpersist()
+        prev, ranks = ranks, new_ranks
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

@@ -352,6 +352,9 @@ def start_streaming_neardup(
             s.get("delta_id") == delta_id for s in index.snapshots())
         if pairs_done and index_done:
             return
+        # checkpoint: b feeds up to three jobs (touched-buckets collect,
+        # pair join, index append); unpersisted at the end of the epoch so
+        # an unbounded stream doesn't accrete one pinned RDD per batch
         b = lsh_bucket_rows(batch_df, n, num_hashes, bands,
                             portable=portable).localCheckpoint()
         if not pairs_done:
@@ -377,6 +380,7 @@ def start_streaming_neardup(
         if not index_done:
             index.commit_append(b, bucket_col="bucket", n_buckets=n_buckets,
                                 extra={"delta_id": delta_id})
+        b.unpersist()
 
     src_schema = schema
     if src_schema is None:
