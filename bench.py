@@ -14,8 +14,9 @@ by running the same construction job at local[8] and local[32]
 Run `python bench.py --scaling` to include the (slower) two-parallelism
 scaling measurement; `--dqa-throughput` to measure the assessment half
 alone over a large constructed KG (the number comparable to the
-reference's ≈3 h drugbank run); the default run reports queries +
-construction.
+reference's ≈3 h drugbank run); `--streaming` to measure the
+streaming-DQA drain rate (triple file stream folded into incremental
+state per microbatch); the default run reports queries + construction.
 """
 
 from __future__ import annotations
@@ -149,9 +150,9 @@ def _materialize_corpus(n_docs: int) -> tuple[str, "GenConfig"]:
     return corpus_dir, cfg
 
 
-def _run_dqa(spark, triples_path: str, report_path: str) -> None:
-    """The DQA half alone: profile + compiled constraint evaluation +
-    scoring + report write over an existing triple table."""
+def _datagen_vocab_cfg():
+    """Vocab + DQA config matching the synthesized datagen corpus —
+    shared by the batch DQA timing and the streaming-DQA drain."""
     from shacl_dqa_prototype_spark.datagen import (
         EX,
         P_CREATED_ON,
@@ -162,10 +163,7 @@ def _run_dqa(spark, triples_path: str, report_path: str) -> None:
         XSD_DATE,
     )
     from shacl_dqa_prototype_spark.plans.constraints import DQAConfig, VocabTerm
-    from shacl_dqa_prototype_spark.plans.dqa import run_data_dqa
-    from shacl_dqa_prototype_spark.sources.sinks import read_triples
 
-    T = read_triples(spark, triples_path)
     vocab = [
         VocabTerm(P_TOPPING, "object_property"),
         VocabTerm(P_LOCATED_IN, "object_property"),
@@ -177,6 +175,17 @@ def _run_dqa(spark, triples_path: str, report_path: str) -> None:
         type_property="rdf:type", labeling_property=P_LABEL,
         interlinking_property="http://www.w3.org/2002/07/owl#sameAs",
         base_uri=EX)
+    return vocab, dqa_cfg
+
+
+def _run_dqa(spark, triples_path: str, report_path: str) -> None:
+    """The DQA half alone: profile + compiled constraint evaluation +
+    scoring + report write over an existing triple table."""
+    from shacl_dqa_prototype_spark.plans.dqa import run_data_dqa
+    from shacl_dqa_prototype_spark.sources.sinks import read_triples
+
+    T = read_triples(spark, triples_path)
+    vocab, dqa_cfg = _datagen_vocab_cfg()
     run_data_dqa(T, vocab, [], dqa_cfg).write.mode("overwrite").parquet(
         report_path)
 
@@ -272,6 +281,53 @@ def main() -> None:
         spark.stop()
         shutil.rmtree(wd, ignore_errors=True)
         shutil.rmtree(dq_corpus, ignore_errors=True)
+
+    if "--streaming" in sys.argv:
+        # Streaming-DQA drain rate: the constructed triple table arrives
+        # as a file stream (16 files per microbatch) and is folded into
+        # incremental state epoch by epoch; the timed section is the full
+        # drain, so the rate includes every bucket-pruned state merge and
+        # the monotone-violation appends.
+        n_sd = int(os.environ.get("SPARK_GRAFT_STREAM_DOCS", 200_000))
+        sd_corpus, sd_cfg = _materialize_corpus(n_sd)
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(f"bench-stream-{CPUS}", cores=CPUS)
+        docs = spark.read.parquet(
+            os.path.join(sd_corpus, "documents.parquet"))
+        wd = tempfile.mkdtemp(prefix="bench_stream_")
+        res = run_construction(spark, docs, entity_dictionary(spark, sd_cfg),
+                               wd, n_buckets=32)
+        n_t = spark.read.parquet(os.path.join(wd, "triples.parquet")).count()
+        from shacl_dqa_prototype_spark.plans.incremental import (
+            IncrementalDQAState,
+        )
+        from shacl_dqa_prototype_spark.streaming.ingest import (
+            start_streaming_dqa,
+        )
+
+        vocab, dqa_cfg = _datagen_vocab_cfg()
+        state = IncrementalDQAState.open(spark, os.path.join(wd, "state"))
+        t0 = time.time()
+        start_streaming_dqa(
+            spark, os.path.join(wd, "triples.parquet"), state, dqa_cfg,
+            vocab, checkpoint_dir=os.path.join(wd, "ckpt"), n_buckets=32,
+        ).awaitTermination()
+        sd_sec = time.time() - t0
+        n_epochs = len(state.ps_counts.snapshots())
+        out["streaming_dqa"] = {
+            "cores": CPUS,
+            "n_triples": n_t,
+            "epochs": n_epochs,
+            "sec": round(sd_sec, 2),
+            "triples_per_sec": round(n_t / sd_sec, 1),
+        }
+        spark.stop()
+        shutil.rmtree(wd, ignore_errors=True)
+        shutil.rmtree(sd_corpus, ignore_errors=True)
 
     if do_scaling:
         # N→4N scaling evidence (BASELINE.json north_rule), sandbox proxy:
