@@ -315,6 +315,7 @@ def main() -> None:
         start_streaming_dqa(
             spark, os.path.join(wd, "triples.parquet"), state, dqa_cfg,
             vocab, checkpoint_dir=os.path.join(wd, "ckpt"), n_buckets=32,
+            max_files_per_trigger=4,
         ).awaitTermination()
         sd_sec = time.time() - t0
         n_epochs = len(state.ps_counts.snapshots())

@@ -170,13 +170,14 @@ def start_streaming_dedup(
     return writer.start()
 
 
-def stream_triples(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_triples(spark: SparkSession, input_dir: str,
+                   max_files_per_trigger: int = 16) -> DataFrame:
     """File-source triple stream (TRIPLES_SCHEMA parquet)."""
     from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
 
     return (
         spark.readStream.schema(TRIPLES_SCHEMA)
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
@@ -193,6 +194,7 @@ def start_streaming_dqa(
     maintain_every: int | None = 32,
     compact_max_dirs: int = 64,
     keep_snapshots: int = 8,
+    max_files_per_trigger: int = 16,
 ) -> StreamingQuery:
     """Continuous data-quality assessment: a stream of triple appends is
     folded into an ``IncrementalDQAState`` one microbatch at a time, so
@@ -236,7 +238,7 @@ def start_streaming_dqa(
                 t.expire_snapshots(keep_last=keep_snapshots)
 
     writer = (
-        stream_triples(spark, input_dir)
+        stream_triples(spark, input_dir, max_files_per_trigger)
         .writeStream.outputMode("append")
         .foreachBatch(_fold)
         .option("checkpointLocation", checkpoint_dir)
