@@ -139,6 +139,61 @@ def cmd_construct(args) -> None:
     }))
 
 
+def cmd_curate(args) -> None:
+    """documents parquet → quality gate → domain filter → near-dup removal
+    (LSH + keep-best-quality) → PII redaction → curated parquet. The whole
+    training-data curation pipeline as one spark-submit job; prints a
+    per-stage survivor-count JSON line."""
+    from pyspark.sql import functions as F
+
+    from shacl_dqa_prototype_spark.operators.dedup import (
+        dedup_clusters,
+        keep_best_per_cluster,
+        minhash_lsh_candidates,
+    )
+    from shacl_dqa_prototype_spark.operators.pipeline import (
+        redact_pii,
+        source_quality_filter,
+    )
+    from shacl_dqa_prototype_spark.operators.textstats import (
+        quality_gate,
+        quality_score,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    stats = {"input": docs.count()}
+
+    gate = quality_gate(docs, max_dup_word_frac=args.max_dup_word_frac)
+    kept = docs.join(gate.filter("keep").select("doc_id"), "doc_id",
+                     "left_semi")
+    stats["after_quality_gate"] = kept.count()
+
+    if "source" in docs.columns and not args.skip_source_filter:
+        ok_src = source_quality_filter(
+            kept, min_docs=args.min_source_docs).filter("keep")
+        kept = kept.join(F.broadcast(ok_src.select("source")), "source",
+                         "left_semi")
+        stats["after_source_filter"] = kept.count()
+
+    # exact dups share every shingle, so the LSH candidate pairs subsume
+    # them — one clustering pass covers both tiers
+    pairs = minhash_lsh_candidates(kept, n=args.ngram)
+    losers = (
+        keep_best_per_cluster(dedup_clusters(pairs), quality_score(kept))
+        .filter(~F.col("keep"))
+        .select(F.col("doc_id").cast(dict(kept.dtypes)["doc_id"]))
+    )
+    kept = kept.join(losers, "doc_id", "left_anti")
+    stats["after_near_dedup"] = kept.count()
+
+    out = kept.drop("text").join(redact_pii(kept), "doc_id")
+    out = out.withColumnsRenamed({"redacted": "text"})
+    out.write.mode("overwrite").parquet(args.output)
+    stats["output_path"] = args.output
+    print(json.dumps(stats))
+
+
 def cmd_dqa(args) -> None:
     from shacl_dqa_prototype_spark.functions.terms import OWL, RDF, RDFS
     from shacl_dqa_prototype_spark.plans.constraints import (
@@ -355,6 +410,17 @@ def main(argv: list[str] | None = None) -> None:
     pc.add_argument("--buckets", type=int, default=32)
     pc.add_argument("--no-resume", action="store_true")
 
+    pcu = sub.add_parser(
+        "curate", help="documents → gated/deduped/redacted training corpus")
+    common(pcu)
+    pcu.add_argument("--docs", required=True, help="documents parquet path")
+    pcu.add_argument("--output", required=True)
+    pcu.add_argument("--ngram", type=int, default=5,
+                     help="shingle size for near-dup LSH")
+    pcu.add_argument("--max-dup-word-frac", type=float, default=0.9)
+    pcu.add_argument("--min-source-docs", type=int, default=5)
+    pcu.add_argument("--skip-source-filter", action="store_true")
+
     pd_ = sub.add_parser("dqa", help="triple table → conformance report")
     common(pd_)
     pd_.add_argument("--config",
@@ -383,6 +449,8 @@ def main(argv: list[str] | None = None) -> None:
         return
     if args.cmd == "construct":
         cmd_construct(args)
+    elif args.cmd == "curate":
+        cmd_curate(args)
     elif args.cmd == "dqa":
         cmd_dqa(args)
     else:

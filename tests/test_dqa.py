@@ -371,3 +371,31 @@ def test_cmd_dqa_releases_all_caches(spark, tmp_path):
     assert (tmp_path / "out" / "dq_assessment_pizza.csv").exists()
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
     assert after - before == set(), f"cmd_dqa leaked RDDs {after - before}"
+
+
+def test_cmd_curate_end_to_end(spark, tmp_path):
+    """The spark-submit curate surface: gate -> source filter -> near-dup
+    keep-best -> PII redaction, with monotone survivor counts and the
+    text column actually redacted."""
+    import argparse
+    import json as _json
+
+    from main import cmd_curate
+
+    out_dir = str(tmp_path / "curated")
+    args = argparse.Namespace(
+        cmd="curate", docs="/root/testdata/sf0.001/documents.parquet",
+        output=out_dir, ngram=5, max_dup_word_frac=0.9, min_source_docs=5,
+        skip_source_filter=False, master=None, shuffle_partitions=None)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cmd_curate(args)
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert (stats["input"] >= stats["after_quality_gate"]
+            >= stats["after_source_filter"] >= stats["after_near_dedup"] > 0)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == stats["after_near_dedup"]
+    assert set(out.columns) >= {"doc_id", "text", "source"}
