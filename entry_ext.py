@@ -681,6 +681,14 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 top_k=50, min_count=2)
     q["text_vocab_top_tokens"] = text_vocab
 
+    def text_divergence(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import (
+            source_token_divergence,
+        )
+
+        return source_token_divergence(_docs_flat(spark, sf_dir))
+    q["text_source_divergence"] = text_divergence
+
     def text_gate(spark, sf_dir):
         from shacl_dqa_prototype_spark.operators.textstats import quality_gate
 
@@ -1551,6 +1559,31 @@ def ext_oracles() -> dict[str, str]:
     SELECT token, n,
            CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
     FROM c ORDER BY n DESC, token LIMIT 50"""
+
+    # per-source unigram KL vs the corpus: integer counts everywhere, one
+    # double division + ln at the end — term-for-term the Spark formula
+    o["text_source_divergence"] = r"""
+    WITH toks AS (
+      SELECT source AS src,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0),
+    st AS (
+      SELECT src, token, count(*) AS c FROM toks
+      WHERE length(token) > 0 GROUP BY 1, 2),
+    tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS c_src FROM st GROUP BY 1),
+    tot2 AS (
+      SELECT src, c_src,
+             (SELECT CAST(SUM(c_src) AS BIGINT) FROM tot) AS c_all
+      FROM tot),
+    x AS (
+      SELECT st.src, c, c_src, c_all,
+             CAST(SUM(c) OVER (PARTITION BY token) AS BIGINT) AS c_tok
+      FROM st JOIN tot2 USING (src))
+    SELECT src AS source, c_src AS n_tokens,
+           round(SUM((c * 1.0 / c_src)
+                     * ln((c * 1.0 / c_src) / (c_tok * 1.0 / c_all))), 6)
+             AS kl_divergence
+    FROM x GROUP BY src, c_src"""
 
     # quality_gate: same rule thresholds as the entry (max_dup_word_frac
     # raised to 0.82 for the word-soup corpus); concat_ws skips NULLs in

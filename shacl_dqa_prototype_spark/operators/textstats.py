@@ -719,3 +719,53 @@ def quality_gate(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+def source_token_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-drift signal per source: KL(P_source || P_corpus) over
+    unigram token distributions — the statistic that flags a crawl domain
+    whose language suddenly diverges from the corpus (spam injection,
+    template takeover, wrong-language feed) without reading any document
+    twice. Emits (source, n_tokens, kl_divergence).
+
+    KL is finite by construction: every source token is part of the
+    corpus distribution, so q > 0 wherever p > 0.
+
+    Scale shape: one partial-aggregated groupBy(source, token) over the
+    exploded tokens; the corpus count per token is a window sum
+    partitioned BY TOKEN over that (much smaller) aggregate, and the
+    per-source / corpus totals live in a #sources-sized table that
+    broadcasts back — no global (single-partition) window anywhere, no
+    second pass over the corpus text. Token counts are exact integers,
+    so only the last division/log is floating point."""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = (
+        docs.filter(F.length(t) > 0)
+        .select(F.col(group_col).alias("src"),
+                F.explode(F.split(t, r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    st = toks.groupBy("src", "token").agg(F.count("*").alias("c"))
+    # per-source totals: one row per SOURCE — the global sum over this
+    # tiny table is safe to window without a partition key
+    src_tot = st.groupBy("src").agg(F.sum("c").alias("c_src"))
+    src_tot = src_tot.withColumn(
+        "c_all", F.sum("c_src").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing)))
+    st = (
+        st.withColumn("c_tok", F.sum("c").over(Window.partitionBy("token")))
+        .join(F.broadcast(src_tot), "src")
+    )
+    p = F.col("c") / F.col("c_src")
+    q = F.col("c_tok") / F.col("c_all")
+    return (
+        st.groupBy("src")
+        .agg(F.first("c_src").alias("n_tokens"),
+             F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"))
+        .select(F.col("src").alias(group_col), "n_tokens", "kl_divergence")
+    )

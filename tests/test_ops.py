@@ -730,3 +730,20 @@ def test_follow_property_path(spark):
 
     with pytest.raises(ValueError):
         follow_property_path(T, [])
+
+
+def test_source_token_divergence(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(0, "a a b", "s1"), (1, "a b", "s1"),   # s1: a=3, b=2
+         (2, "c c c c c", "s2")],                # s2: c=5 (disjoint vocab)
+        ["doc_id", "text", "source"])
+    got = {r["source"]: r
+           for r in textstats.source_token_divergence(docs).collect()}
+    # corpus: a=3, b=2, c=5, total 10
+    # KL(s1) = .6*ln(.6/.3) + .4*ln(.4/.2) = ln(2) = .693147
+    # KL(s2) = 1*ln(1/.5) = ln(2)
+    assert got["s1"]["n_tokens"] == 5 and got["s2"]["n_tokens"] == 5
+    assert abs(got["s1"]["kl_divergence"] - math.log(2)) < 1e-5
+    assert abs(got["s2"]["kl_divergence"] - math.log(2)) < 1e-5
