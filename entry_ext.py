@@ -892,6 +892,16 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value", "cnt_3600s", "sum_value_3600s")
     q["events_rolling_1h"] = events_rolling
 
+    def events_funnel(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.features import (
+            funnel_conversion,
+        )
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # 7-step alternating funnel: mixed outcomes at sf0.01 (148/2)
+        return funnel_conversion(ev, FUNNEL_STEPS)
+    q["events_funnel"] = events_funnel
+
     # STREAMING CDC: the same base/u1/u2 change feed as
     # snapshot_merge_upsert arrives as one file per microbatch (mtime-
     # ordered); the folded table must equal the declarative SQL merge —
@@ -1056,6 +1066,10 @@ _SDQA_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SUP_CACHE: dict[tuple[int, str], DataFrame] = {}
 _CTX_V_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SND_CACHE: dict[tuple[int, str], DataFrame] = {}
+# depth-k prefix regexes re-derive the funnel fold: a subsequence prefix of
+# length k matched <=> depth >= k
+FUNNEL_STEPS = ["purchase", "error", "purchase", "error", "purchase",
+                "error", "purchase"]
 _NK_V_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
@@ -1853,6 +1867,26 @@ def ext_oracles() -> dict[str, str]:
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+    o["events_funnel"] = """
+    WITH s AS (
+      SELECT user_id, count(*) AS n_events,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS sq
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(CASE
+           WHEN regexp_matches(sq, 'purchase.*error.*purchase.*error.*purchase.*error.*purchase') THEN 7
+           WHEN regexp_matches(sq, 'purchase.*error.*purchase.*error.*purchase.*error') THEN 6
+           WHEN regexp_matches(sq, 'purchase.*error.*purchase.*error.*purchase') THEN 5
+           WHEN regexp_matches(sq, 'purchase.*error.*purchase.*error') THEN 4
+           WHEN regexp_matches(sq, 'purchase.*error.*purchase') THEN 3
+           WHEN regexp_matches(sq, 'purchase.*error') THEN 2
+           WHEN regexp_matches(sq, 'purchase') THEN 1
+           ELSE 0 END AS INT) AS depth,
+           regexp_matches(sq,
+             'purchase.*error.*purchase.*error.*purchase.*error.*purchase')
+             AS reached
+    FROM s"""
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

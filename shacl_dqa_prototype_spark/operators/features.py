@@ -43,3 +43,52 @@ def rolling_window_features(
         F.count("*").over(w).alias(f"cnt_{window_s}s"),
         F.round(F.sum(value_col).over(w), 6).alias(f"sum_{value_col}_{window_s}s"),
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: list[str],
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, did the event sequence contain
+    ``steps`` as a (not necessarily contiguous) subsequence in time order?
+    Emits (key, n_events, reached) plus ``depth`` — how many funnel steps
+    were completed in order (``reached`` ⇔ depth == len(steps)). The
+    classic product-analytics "view → click → purchase" question, done
+    without MATCH_RECOGNIZE (which Spark lacks).
+
+    Scale shape: ONE shuffle — the per-key groupBy. The subsequence scan
+    is an aggregate fold over the key's time-sorted event-type array
+    (collect_list + array_sort on a (ts, id, type) struct: the struct
+    sort makes the order total and deterministic, and keeps everything
+    JVM-side). State per key is the event array — bounded by per-key
+    activity, the same bound any sessionization carries; heavy keys are
+    the caller's salting decision."""
+    if not steps:
+        raise ValueError("empty funnel")
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+        F.col(type_col).alias("e"))))
+    types = F.transform(seq, lambda x: x["e"])
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    # fold: depth advances when the current event matches the next step
+    depth = F.aggregate(
+        types,
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < len(steps)) & (e == F.element_at(steps_arr, acc + 1)),
+            acc + 1).otherwise(acc),
+    )
+    return (
+        events.groupBy(F.col(by).alias("key"))
+        .agg(F.count("*").alias("n_events"), depth.alias("depth"))
+        .select(
+            F.col("key").alias(by),
+            "n_events",
+            F.col("depth").cast("int").alias("depth"),
+            (F.col("depth") == len(steps)).alias("reached"),
+        )
+    )

@@ -747,3 +747,31 @@ def test_source_token_divergence(spark):
     assert got["s1"]["n_tokens"] == 5 and got["s2"]["n_tokens"] == 5
     assert abs(got["s1"]["kl_divergence"] - math.log(2)) < 1e-5
     assert abs(got["s2"]["kl_divergence"] - math.log(2)) < 1e-5
+
+
+def test_funnel_conversion(spark):
+    from shacl_dqa_prototype_spark.operators.features import (
+        funnel_conversion,
+    )
+
+    rows = [
+        # u1 completes in order; extra noise events between steps
+        (1, "u1", 1.0, "view"), (2, "u1", 2.0, "error"),
+        (3, "u1", 3.0, "click"), (4, "u1", 4.0, "purchase"),
+        # u2 has all steps but out of order -> depth stalls at 2
+        (5, "u2", 1.0, "view"), (6, "u2", 2.0, "purchase"),
+        (7, "u2", 3.0, "click"),
+        # u3 never clicks
+        (8, "u3", 1.0, "view"), (9, "u3", 2.0, "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"])
+    got = {r["user_id"]: r for r in funnel_conversion(
+        ev, ["view", "click", "purchase"], ts_col="ts").collect()}
+    assert got["u1"]["reached"] and got["u1"]["depth"] == 3
+    assert not got["u2"]["reached"] and got["u2"]["depth"] == 2
+    assert not got["u3"]["reached"] and got["u3"]["depth"] == 1
+    assert got["u1"]["n_events"] == 4
+    import pytest
+
+    with pytest.raises(ValueError):
+        funnel_conversion(ev, [])
