@@ -287,3 +287,50 @@ def test_turtle_roundtrip(data, tight_dot):
            f"@prefix xsd: <{_XSD_NS}> .\n"
            "# a comment\n" + "\n".join(stmts) + "\n")
     assert parse_turtle(ttl) == expected
+
+
+# ---------------------------------------------------------------------------
+# asof_join vs pandas.merge_asof: the UNION+window formulation must agree
+# with the reference single-node implementation on arbitrary keyed series.
+# Right-side timestamps are made unique per key (the operator's documented
+# precondition); Spark rounds differently from pandas nowhere here because
+# values are carried verbatim, never computed.
+# ---------------------------------------------------------------------------
+
+_key = st.sampled_from(["k1", "k2", "k3"])
+_t = st.integers(min_value=0, max_value=50)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    left=st.lists(st.tuples(_key, _t), min_size=1, max_size=12),
+    right=st.lists(st.tuples(_key, _t), min_size=1, max_size=12),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
+    import pandas as pd
+
+    from shacl_dqa_prototype_spark.operators.asof import asof_join
+    # unique right rows per (key, t); value identifies the matched row
+    rd = {}
+    for k, t in right:
+        rd[(k, t)] = len(rd)
+    rpdf = pd.DataFrame(
+        [(k, float(t), v) for (k, t), v in rd.items()],
+        columns=["k", "t", "v"])
+    lpdf = pd.DataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(left)],
+        columns=["i", "k", "t"])
+    got = asof_join(
+        spark.createDataFrame(lpdf), spark.createDataFrame(rpdf),
+        on="t", by=("k",), right_cols=("v",), direction=direction,
+    ).toPandas().set_index("i")["v_r"].to_dict()
+    exp_df = pd.merge_asof(
+        lpdf.sort_values("t", kind="stable"), rpdf.sort_values("t"),
+        on="t", by="k", direction=direction, suffixes=("", "_r"),
+    ).set_index("i")
+    exp = exp_df["v"].to_dict()
+    assert set(got) == set(exp)
+    for i in got:
+        g, e = got[i], exp[i]
+        assert (pd.isna(g) and pd.isna(e)) or g == e, (i, g, e, left, right)
