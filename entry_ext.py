@@ -902,6 +902,15 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return funnel_conversion(ev, FUNNEL_STEPS)
     q["events_funnel"] = events_funnel
 
+    def events_hist(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.features import (
+            value_histogram,
+        )
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return value_histogram(ev, lo=0.0, hi=200.0, n_bins=8)
+    q["events_value_histogram"] = events_hist
+
     # STREAMING CDC: the same base/u1/u2 change feed as
     # snapshot_merge_upsert arrives as one file per microbatch (mtime-
     # ordered); the folded table must equal the declarative SQL merge —
@@ -1887,6 +1896,19 @@ def ext_oracles() -> dict[str, str]:
              'purchase.*error.*purchase.*error.*purchase.*error.*purchase')
              AS reached
     FROM s"""
+
+    # histogram: same clamp arithmetic; width = 25.0 exactly representable
+    o["events_value_histogram"] = """
+    WITH b AS (
+      SELECT event_type,
+             CAST(least(greatest(floor((CAST(value AS DOUBLE) - 0.0) / 25.0),
+                                 0), 7) AS INT) AS bin
+      FROM events)
+    SELECT event_type, bin,
+           round(0.0 + bin * 25.0, 6) AS bin_lo,
+           round(0.0 + (bin + 1) * 25.0, 6) AS bin_hi,
+           count(*) AS n
+    FROM b GROUP BY 1, 2"""
 
     o["kg_frame_sample"] = _media_decoded + """
     SELECT doc_id, media_ref, unnest(range(0, n_frames, 60)) AS frame_idx

@@ -92,3 +92,42 @@ def funnel_conversion(
             (F.col("depth") == len(steps)).alias("reached"),
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` per group over the fixed range
+    [lo, hi) — the monitoring primitive behind per-metric distribution
+    dashboards and drift alerts. The range is caller-fixed (not derived
+    from the data) so the operator is ONE pass, deterministic, and bins
+    are comparable across runs/days; out-of-range values clamp into the
+    edge bins so the counts always total the input.
+
+    Emits (group, bin, bin_lo, bin_hi, n). Scale shape: a pure map to the
+    bin index then ONE partial-aggregated groupBy — nothing else."""
+    if not (hi > lo and n_bins > 0):
+        raise ValueError("need hi > lo and n_bins > 0")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.select(F.col(group_col).alias("grp"), b.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("grp").alias(group_col),
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("bin_hi"),
+            "n",
+        )
+    )

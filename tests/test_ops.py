@@ -775,3 +775,23 @@ def test_funnel_conversion(spark):
 
     with pytest.raises(ValueError):
         funnel_conversion(ev, [])
+
+
+def test_value_histogram_clamps_and_totals(spark):
+    from shacl_dqa_prototype_spark.operators.features import value_histogram
+
+    rows = [(1, "a", -5.0), (2, "a", 0.0), (3, "a", 9.99), (4, "a", 10.0),
+            (5, "a", 99.0), (6, "b", 200.0)]  # -5 clamps low, 200 clamps high
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = {(r["event_type"], r["bin"]): r for r in
+           value_histogram(df, lo=0.0, hi=100.0, n_bins=10).collect()}
+    assert got[("a", 0)]["n"] == 3           # -5 (clamped), 0.0, 9.99
+    assert got[("a", 1)]["n"] == 1           # 10.0 lands in [10, 20)
+    assert got[("a", 9)]["n"] == 1           # 99
+    assert got[("b", 9)]["n"] == 1           # 200 clamped into the top bin
+    assert got[("a", 0)]["bin_lo"] == 0.0 and got[("a", 0)]["bin_hi"] == 10.0
+    assert sum(r["n"] for r in got.values()) == len(rows)
+    import pytest
+
+    with pytest.raises(ValueError):
+        value_histogram(df, lo=1.0, hi=1.0)
