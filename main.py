@@ -212,6 +212,7 @@ def cmd_dqa(args) -> None:
         raw_usage_sets,
         subclass_closure,
         tbox_merge_rows,
+        vocab_profile_json,
     )
     from shacl_dqa_prototype_spark.schemas import TRIPLES_SCHEMA
     from shacl_dqa_prototype_spark.sources.sinks import (
@@ -221,21 +222,33 @@ def cmd_dqa(args) -> None:
 
     if args.config:
         _apply_ini(args)
+    # Selective runs (reference -rm/-rd/-rv, main.py:22-25 +
+    # dq_assessment.py:97-112): a metadata-only assessment needs no data
+    # graph at all, so --triples is only required when the data or
+    # vocabulary stages actually run.
+    run_data = not getattr(args, "skip_data", False)
+    run_vocab = not getattr(args, "skip_vocab", False)
     if not args.triples:
-        raise SystemExit("--triples or --config with graph_file is required")
+        if not args.metadata:
+            raise SystemExit(
+                "--triples (or --config with graph_file) or --metadata "
+                "is required")
+        run_data = run_vocab = False  # metadata-only run (reference -rm)
     t_start = time.time()
     timings: dict[str, float] = {}
     spark = _spark(args)
-    if args.triples.endswith(".parquet") or os.path.isdir(args.triples):
-        from shacl_dqa_prototype_spark.sources.sinks import read_triples
+    T_raw = None
+    if args.triples:
+        if args.triples.endswith(".parquet") or os.path.isdir(args.triples):
+            from shacl_dqa_prototype_spark.sources.sinks import read_triples
 
-        try:
-            T_raw = read_triples(spark, args.triples)
-        except Exception:
-            T_raw = spark.read.parquet(args.triples)
-    else:
-        T_raw, _ = _read_rdf(spark, args.triples,
-                             getattr(args, "triples_format", None))
+            try:
+                T_raw = read_triples(spark, args.triples)
+            except Exception:
+                T_raw = spark.read.parquet(args.triples)
+        else:
+            T_raw, _ = _read_rdf(spark, args.triples,
+                                 getattr(args, "triples_format", None))
 
     cfg = DQAConfig(
         type_property=args.type_property or f"{RDF}type",
@@ -246,14 +259,18 @@ def cmd_dqa(args) -> None:
                          if args.uris_max_length is not None else 80),
         base_uri=args.base_uri,
     )
-    profile = profile_graph(T_raw, cfg.type_property, cfg.labeling_property,
-                            cfg.description_property, cfg.interlinking_property)
+    profile = None
+    if T_raw is not None:
+        profile = profile_graph(
+            T_raw, cfg.type_property, cfg.labeling_property,
+            cfg.description_property, cfg.interlinking_property)
 
     terms, disjoint = [], []
     sub_pairs = None
     T = T_raw
     used_props = used_classes = None
     vocab_graphs: list[tuple[str, list[tuple]]] = []
+    vocab_profiles: dict[str, object] = {}
     if args.vocab:
         vnames = list(getattr(args, "vocab_names", []) or [])
         vfmts = list(getattr(args, "vocab_formats", []) or [])
@@ -263,16 +280,27 @@ def cmd_dqa(args) -> None:
             name = (vnames[i] if i < len(vnames)
                     else os.path.splitext(os.path.basename(vp))[0])
             vocab_graphs.append((name, rows or []))
+            vocab_profiles[name] = mine_vocab(rows or [])
             vocab_rows.extend(rows or [])
+        # per-vocabulary profile JSON sink (reference utils.py:643-645,
+        # main.py:55-56: profile/vocabularies/<name>.json per vocab)
+        vdir = os.path.join(args.output, "profile", "vocabularies")
+        os.makedirs(vdir, exist_ok=True)
+        for name, pv in vocab_profiles.items():
+            with open(os.path.join(vdir, f"{name}.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump(vocab_profile_json(pv), f, indent=4)
         prof_v = mine_vocab(vocab_rows)
         terms, disjoint = profile_to_vocab_terms(prof_v)
-        merged = tbox_merge_rows(vocab_rows, prof_v.classes)
-        T = T_raw.unionByName(
-            spark.createDataFrame(merged, TRIPLES_SCHEMA)).dropDuplicates()
+        if T_raw is not None:
+            merged = tbox_merge_rows(vocab_rows, prof_v.classes)
+            T = T_raw.unionByName(
+                spark.createDataFrame(merged, TRIPLES_SCHEMA)).dropDuplicates()
         sub_pairs = subclass_closure(vocab_rows) or None
     # usage pruning stays on the RAW graph (reference semantics);
     # sh:class follows the vocab subClassOf closure
-    used_props, used_classes = raw_usage_sets(T_raw, cfg.type_property)
+    if T_raw is not None:
+        used_props, used_classes = raw_usage_sets(T_raw, cfg.type_property)
 
     reports = []
     if args.metadata:
@@ -286,7 +314,7 @@ def cmd_dqa(args) -> None:
                if args.metadata_class else {})))
         timings["metadata_shapes_elapsed_time"] = time.time() - t0
 
-    if args.vocab and used_classes is not None:
+    if run_vocab and args.vocab and used_classes is not None:
         from shacl_dqa_prototype_spark.plans.dqa import run_vocab_dqa
 
         t0 = time.time()
@@ -295,12 +323,16 @@ def cmd_dqa(args) -> None:
                                          used_classes, used_props))
         timings["vocab_shapes_elapsed_time"] = time.time() - t0
 
-    t0 = time.time()
-    plan = compile_data_constraints(
-        T, terms, disjoint, cfg, used_props=used_props,
-        used_classes=used_classes, subclass_pairs=sub_pairs)
-    plan.violations = plan.violations.cache()
-    reports.append(score_plan(spark, plan, profile, target="data"))
+    plan = None
+    if run_data and T is not None:
+        t0 = time.time()
+        plan = compile_data_constraints(
+            T, terms, disjoint, cfg, used_props=used_props,
+            used_classes=used_classes, subclass_pairs=sub_pairs)
+        plan.violations = plan.violations.cache()
+        reports.append(score_plan(spark, plan, profile, target="data"))
+    if not reports:
+        raise SystemExit("nothing to run: every stage was skipped")
 
     from functools import reduce
 
@@ -315,7 +347,8 @@ def cmd_dqa(args) -> None:
     )
 
     report_rows = report.collect()
-    timings["data_shapes_elapsed_time"] = time.time() - t0
+    if plan is not None:
+        timings["data_shapes_elapsed_time"] = time.time() - t0
 
     # A7 — instantiated shapes graphs as Turtle (reference
     # dq_assessment.py:156-159, 212-218, 255-258)
@@ -327,22 +360,25 @@ def cmd_dqa(args) -> None:
 
     shapes_dir = os.path.join(args.output, "shapes")
     os.makedirs(shapes_dir, exist_ok=True)
-    with open(os.path.join(shapes_dir, "data_shapes.ttl"), "w") as f:
-        f.write(data_shapes_ttl(terms, disjoint, cfg, used_props, used_classes))
+    if plan is not None:
+        with open(os.path.join(shapes_dir, "data_shapes.ttl"), "w") as f:
+            f.write(data_shapes_ttl(terms, disjoint, cfg,
+                                    used_props, used_classes))
     if args.metadata:
         from shacl_dqa_prototype_spark.functions.terms import VOID
 
         with open(os.path.join(shapes_dir, "metadata_shapes.ttl"), "w") as f:
             f.write(metadata_shapes_ttl(
                 args.metadata_class or f"{VOID}Dataset"))
-    for name, rows in vocab_graphs:
-        ns = mine_vocab(rows).namespace
-        with open(os.path.join(
-                shapes_dir, f"vocabulary_shapes_{name}.ttl"), "w") as f:
-            f.write(vocabulary_shapes_ttl(
-                cfg.labeling_property, cfg.type_property,
-                sorted(c for c in used_classes if c and c.startswith(ns)),
-                sorted(p for p in used_props if p.startswith(ns))))
+    if run_vocab and used_classes is not None:
+        for name, rows in vocab_graphs:
+            ns = vocab_profiles[name].namespace
+            with open(os.path.join(
+                    shapes_dir, f"vocabulary_shapes_{name}.ttl"), "w") as f:
+                f.write(vocabulary_shapes_ttl(
+                    cfg.labeling_property, cfg.type_property,
+                    sorted(c for c in used_classes if c and c.startswith(ns)),
+                    sorted(p for p in used_props if p.startswith(ns))))
 
     # reference file naming: dq_assessment_<dataset>.csv with the name
     # lowercased and spaces underscored (dq_assessment.py:61-62, 1280)
@@ -351,8 +387,9 @@ def cmd_dqa(args) -> None:
     write_reference_csv(
         reference_csv_rows(report_rows, uris_max_length=cfg.uris_max_length),
         os.path.join(args.output, csv_name))
-    with open(os.path.join(args.output, "profile.json"), "w") as f:
-        json.dump(profile.as_dict(), f, indent=2)
+    if profile is not None:
+        with open(os.path.join(args.output, "profile.json"), "w") as f:
+            json.dump(profile.as_dict(), f, indent=2)
 
     # run_info.json bookkeeping (reference main.py:34-53): per-stage
     # timings + instantiated-shape count + the graph profile, keyed by
@@ -368,14 +405,16 @@ def cmd_dqa(args) -> None:
         "data_shapes_elapsed_time": timings.get("data_shapes_elapsed_time", 0.0),
         "metadata_shapes_elapsed_time": timings.get(
             "metadata_shapes_elapsed_time", 0.0),
-        "num_inst_shapes": len(plan.shapes),
-        "graph_profile": profile.as_dict(),
+        "num_inst_shapes": len(plan.shapes) if plan is not None else 0,
+        "graph_profile": profile.as_dict() if profile is not None else {},
     }
     with open(run_info_path, "w", encoding="utf-8") as f:
         json.dump(run_info, f, indent=4)
-    plan.unpersist()  # outputs are materialized; release executor memory
-    print(json.dumps({"report_rows": len(report_rows), "output": args.output,
-                      "profile": profile.as_dict()}))
+    if plan is not None:
+        plan.unpersist()  # outputs are materialized; release executor memory
+    print(json.dumps({
+        "report_rows": len(report_rows), "output": args.output,
+        "profile": profile.as_dict() if profile is not None else {}}))
 
 
 def make_pyfiles(zip_path: str) -> None:
@@ -440,6 +479,11 @@ def main(argv: list[str] | None = None) -> None:
     pd_.add_argument("--description-property")
     pd_.add_argument("--interlinking-property")
     pd_.add_argument("--uris-max-length", type=int, default=None)
+    pd_.add_argument("--skip-data", action="store_true",
+                     help="skip the data-shapes stage (reference -rm/-rv "
+                          "selective runs)")
+    pd_.add_argument("--skip-vocab", action="store_true",
+                     help="skip the vocabulary-shapes stage")
     pd_.set_defaults(triples_format=None, metadata_format=None,
                      vocab_names=[], vocab_formats=[])
 

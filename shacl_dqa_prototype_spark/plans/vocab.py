@@ -220,6 +220,40 @@ def mine_vocab(rows: list[tuple]) -> VocabProfile:
     return p
 
 
+def vocab_profile_json(p: VocabProfile) -> dict:
+    """VocabProfile → the reference's on-disk per-vocabulary profile dict
+    (written as profile/vocabularies/<name>.json — utils.py:643-645,
+    main.py:55-56). Key order and value shapes mirror the reference file
+    (e.g. datasets/pizza → profile/vocabularies/pizza_owl.json) so the
+    Streamlit layer and any downstream consumer read it unmodified."""
+    ch = p.characteristics
+    return {
+        "classes": list(p.classes),
+        "other_classes": list(p.other_classes),
+        "other_properties": list(p.other_properties),
+        "object_properties": p.object_properties,
+        "datatype_properties": p.datatype_properties,
+        "deprecated_classes": list(p.deprecated_classes),
+        "deprecated_properties": list(p.deprecated_properties),
+        "inverse_functional": list(ch.get("inverse_functional", [])),
+        "functional": list(ch.get("functional", [])),
+        "reflexive": list(ch.get("reflexive", [])),
+        "irreflexive": list(ch.get("irreflexive", [])),
+        "transitive": list(ch.get("transitive", [])),
+        "asymmetric": list(ch.get("asymmetric", [])),
+        "symmetric": list(ch.get("symmetric", [])),
+        "disjoint_classes": [list(pair) for pair in p.disjoint_classes],
+        "rdf_properties": p.rdf_properties,
+        "num_classes": p.num_classes,
+        "num_other_classes": len(p.other_classes),
+        "num_properties": p.num_properties,
+        "num_other_properties": len(p.other_properties),
+        "num_all_classes": p.num_all_classes,
+        "num_all_properties": p.num_all_properties,
+        "num_entities": p.num_entities,
+    }
+
+
 def profile_to_vocab_terms(p: VocabProfile, vocab: str = "vocab") -> tuple[list[VocabTerm], list[tuple[str, str]]]:
     """VocabProfile → the constraint compiler's dims."""
     chars = p.characteristics

@@ -371,6 +371,54 @@ def test_cmd_dqa_releases_all_caches(spark, tmp_path):
     assert (tmp_path / "out" / "dq_assessment_pizza.csv").exists()
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
     assert after - before == set(), f"cmd_dqa leaked RDDs {after - before}"
+    # per-vocabulary profile sink (reference utils.py:643-645): same keys
+    # and counts as the committed pizza_owl.json
+    import json as _json
+
+    ours = _json.load(open(
+        tmp_path / "out" / "profile" / "vocabularies" / "pizza_owl.json"))
+    golden = _json.load(open(
+        "/root/reference/profile/vocabularies/pizza_owl.json"))
+    assert list(ours.keys()) == list(golden.keys())
+    for k, gv in golden.items():
+        if isinstance(gv, (list, dict)):
+            assert len(ours[k]) == len(gv), k
+        else:
+            assert ours[k] == gv, k
+
+
+def test_cmd_dqa_metadata_only(spark, tmp_path):
+    """Reference -rm selective run (main.py:22-25 / dq_assessment.py:97-112):
+    a metadata-only assessment must run WITHOUT --triples and emit the
+    metadata-shaped report rows."""
+    import argparse
+    import csv
+
+    from main import cmd_dqa
+
+    args = argparse.Namespace(
+        cmd="dqa", config=None, triples=None, triples_format=None,
+        vocab=[], vocab_names=[], vocab_formats=[],
+        metadata="/root/reference/datasets/pizza/void.ttl",
+        metadata_format="ttl", metadata_class=None,
+        output=str(tmp_path / "md_out"), dataset_name="pizza md",
+        base_uri=None, type_property=None,
+        labeling_property=None, description_property=None,
+        interlinking_property=None, uris_max_length=None,
+        master=None, shuffle_partitions=None,
+    )
+    cmd_dqa(args)
+    csv_path = tmp_path / "md_out" / "dq_assessment_pizza_md.csv"
+    assert csv_path.exists()
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    names = {r["shape_name"] for r in rows}
+    # all four metadata shape families present, nothing else
+    assert any("Metadata" in n or "Availability" in n or "Authenticity" in n
+               for n in names)
+    assert not any("FunctionalProperty" in n for n in names)
+    assert (tmp_path / "md_out" / "shapes" / "metadata_shapes.ttl").exists()
+    assert not (tmp_path / "md_out" / "shapes" / "data_shapes.ttl").exists()
 
 
 def test_cmd_curate_end_to_end(spark, tmp_path):

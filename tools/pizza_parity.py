@@ -302,12 +302,54 @@ def compare_csv(report, md_report, vrep) -> list[str]:
     return errors
 
 
+def compare_vocab_profile(prof_v) -> list[str]:
+    """Per-vocabulary profile JSON parity (A5): our vocab_profile_json
+    output vs the committed /root/reference/profile/vocabularies/
+    pizza_owl.json — same keys, same counts, and same element MULTISETS
+    for every list/dict field (the reference's list order follows rdflib/
+    set iteration, which is not reproducible across processes)."""
+    from shacl_dqa_prototype_spark.plans.vocab import vocab_profile_json
+
+    golden = json.load(open("/root/reference/profile/vocabularies/pizza_owl.json"))
+    ours = vocab_profile_json(prof_v)
+    errors = []
+    if list(ours.keys()) != list(golden.keys()):
+        errors.append(f"VOCAB PROFILE KEYS: ours={list(ours.keys())} "
+                      f"golden={list(golden.keys())}")
+        return errors
+    import re
+
+    def _canon_el(x) -> str:
+        # blank-node labels are process-random in both engines (rdflib
+        # Nhex32 vs our _:genid counters) — same normalization as
+        # _canon_violations
+        s = str(x)
+        if s.startswith("_:") or re.fullmatch(r"[Nn][0-9a-f]{32}(b\d+)?", s):
+            return "<bnode>"
+        return s
+
+    for k, gv in golden.items():
+        ov = ours[k]
+        if isinstance(gv, list):
+            canon = (lambda x: sorted(map(_canon_el, x)))
+            if canon(ov) != canon(gv):
+                errors.append(f"VOCAB PROFILE {k}: ours({len(ov)}) != "
+                              f"golden({len(gv)})")
+        elif isinstance(gv, dict):
+            if {m: ov[m] for m in sorted(ov)} != {m: gv[m] for m in sorted(gv)}:
+                errors.append(f"VOCAB PROFILE {k}: ours={ov} golden={gv}")
+        elif ov != gv:
+            errors.append(f"VOCAB PROFILE {k}: ours={ov} golden={gv}")
+    return errors
+
+
 def main() -> int:
     spark = get_spark("pizza-parity", cores=8, shuffle_partitions=8)
     report, md_report, (vocab_rows, prof_v, T_raw) = build_report(spark)
     vrep = vocab_report(spark, vocab_rows, prof_v, T_raw)
     errors = compare(report, md_report, vrep)
     errors += compare_csv(report, md_report, vrep)
+    errors += compare_vocab_profile(prof_v)
     for e in errors:
         print(e)
     print(f"{'PARITY OK' if not errors else 'MISMATCHES'}: {len(errors)} errors")
