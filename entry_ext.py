@@ -1764,6 +1764,11 @@ def ext_oracles() -> dict[str, str]:
     # PageRank: the power iteration UNROLLED — per iteration one dangling
     # scalar, one contribution aggregate, one rank update, mirroring the
     # Spark loop term-for-term so the doubles agree to far below round(6)
+    # r{i} is referenced twice by iteration i+1 (dangling sum + contrib
+    # join): without MATERIALIZED, DuckDB's CTE inlining re-expands the
+    # whole chain per reference — 2^5 copies of the triples scan (~50 s
+    # oracle runtime for a 3 s query). Materializing each step keeps the
+    # oracle linear in iterations, matching how any engine would run it.
     _pr_iters = []
     for i in range(1, 6):
         _pr_iters.append(f"""
@@ -1771,7 +1776,7 @@ def ext_oracles() -> dict[str, str]:
     c{i} AS (
       SELECT e.b AS node, SUM(r.rank / r.deg) AS s
       FROM r{i - 1} r JOIN e ON r.node = e.a WHERE r.deg > 0 GROUP BY e.b),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT n.node, n.deg,
              0.15 / (SELECT n FROM nn)
              + 0.85 * (COALESCE(c.s, 0)
@@ -1779,13 +1784,13 @@ def ext_oracles() -> dict[str, str]:
       FROM r0 n LEFT JOIN c{i} c USING (node))""")
     o["kg_pagerank"] = (f"""
     WITH triples AS ({_CORE_TRIPLES_SQL}),
-    e AS (
+    e AS MATERIALIZED (
       SELECT DISTINCT s AS a, o AS b FROM triples
       WHERE o_kind = 'iri' AND p <> 'rdf:type'),
     nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
     dg AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
-    r0 AS (
+    r0 AS MATERIALIZED (
       SELECT node, COALESCE(deg, 0) AS deg, 1.0 / (SELECT n FROM nn) AS rank
       FROM nodes LEFT JOIN dg ON node = a),"""
       + ",".join(_pr_iters)
