@@ -328,6 +328,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, d), n=5, portable=True)
     q["dedup_simhash_neardup"] = lambda s, d: dedup.simhash_near_duplicates(
         _docs(s, d), max_hamming=3, portable=True)
+
+    def pipe_curate(spark, sf_dir):
+        # the FUSED curation pipeline (gate → source filter → LSH
+        # keep-best dedup → redact) — the exact plan main.py curate runs,
+        # in the portable-hash configuration so the survivor set is
+        # independently re-derivable end-to-end in DuckDB
+        from shacl_dqa_prototype_spark.plans.curate import curate_corpus
+
+        res = curate_corpus(
+            _docs(spark, sf_dir), ngram=5, max_dup_word_frac=0.82,
+            min_source_docs=10, min_source_quality=0.79,
+            portable=True, collect_stats=False)
+        return res.survivors.select("doc_id", "text")
+    q["pipe_curate"] = pipe_curate
     q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
 
     def ann(spark, sf_dir):
@@ -806,6 +820,122 @@ def oracle_sql() -> dict[str, str]:
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+    # --- pipe_curate: the whole curation pipeline re-derived end-to-end —
+    # quality gate (max_dup_word_frac=0.82) → per-source mean-quality
+    # filter (>=10 docs, mean>=0.79) over the GATED set → MinHash-LSH
+    # candidate pairs among survivors (same portable-md5 pipeline as
+    # dedup_minhash_lsh, n=5) → connected components via recursive
+    # closure → keep best quality per cluster (tie: min doc_id AS STRING,
+    # matching the CC path's string node ids) → PII redaction.
+    o["pipe_curate"] = rf"""
+    WITH RECURSIVE gb AS (
+      SELECT doc_id, text, source, trim(text) AS tt,
+             concat(' ', lower(text), ' ') AS padded
+      FROM documents),
+    gw AS (
+      SELECT doc_id,
+             CASE WHEN length(tt) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(tt, '\s+')) END AS n,
+             length(regexp_replace(tt, '\s+', '', 'g')) AS n_nonws,
+             (CASE WHEN position(' the ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' and ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' of ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' to ' IN padded) > 0 THEN 1 ELSE 0 END
+            + CASE WHEN position(' a ' IN padded) > 0 THEN 1 ELSE 0 END)
+               AS hits
+      FROM gb),
+    gcnt AS (
+      SELECT doc_id, word, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(tt, '\s+')) AS word
+            FROM gb WHERE length(tt) > 0)
+      GROUP BY doc_id, word),
+    gdups AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS ndup
+      FROM gcnt GROUP BY doc_id),
+    gy AS (
+      SELECT gw.doc_id, n, hits,
+             n_nonws * 1.0 / nullif(n, 0) AS mwl,
+             COALESCE(ndup, 0) * 1.0 / nullif(n, 0) AS dupf
+      FROM gw LEFT JOIN gdups ON gw.doc_id = gdups.doc_id),
+    g AS (
+      SELECT doc_id FROM gy
+      WHERE NOT (n < 5 OR n > 5000
+                 OR (n > 0 AND (mwl < 2.0 OR mwl > 12.0))
+                 OR COALESCE(dupf, 0) > 0.82 OR hits = 0)),
+    k1 AS MATERIALIZED (
+      SELECT b.doc_id, b.text, b.source, b.padded
+      FROM gb b JOIN g USING (doc_id)),
+    -- per-doc quality (quality_score formula, shared by the source
+    -- filter and the keep-best policy)
+    q AS MATERIALIZED (
+      SELECT doc_id, source,
+             round((CASE WHEN length(text) BETWEEN 50 AND 10000
+                         THEN 0.4 ELSE 0.0 END)
+                 + (CASE WHEN length(regexp_replace(
+                        text, '[^.,;:!?]', '', 'g')) * 1.0
+                        / nullif(length(text), 0) <= 0.1
+                         THEN 0.3 ELSE 0.0 END)
+                 + (CASE WHEN position(' the ' IN padded) > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN position(' and ' IN padded) > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN position(' of ' IN padded) > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN position(' to ' IN padded) > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN position(' a ' IN padded) > 0 THEN 1 ELSE 0 END)
+                   / 5.0 * 0.3, 6) AS quality
+      FROM k1),
+    sagg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(round(quality * 100) AS BIGINT)) AS BIGINT) AS sq
+      FROM q GROUP BY source),
+    ok_src AS (
+      SELECT source FROM sagg
+      WHERE n_docs >= 10
+        AND round(CAST(sq AS DOUBLE) / n_docs / 100.0, 6) >= 0.79),
+    k2 AS MATERIALIZED (
+      SELECT k1.doc_id, k1.text FROM k1 JOIN ok_src USING (source)),
+    toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM k2),
+    pos AS (
+      SELECT unnest(generate_series(0,
+        (SELECT max(greatest(len(tk) - 5, 0)) FROM toks))) AS i),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tk[p.i + 1 : p.i + 5], ' ') AS shingle
+      FROM toks t JOIN pos p ON p.i <= greatest(len(t.tk) - 5, 0)
+      WHERE length(array_to_string(tk[p.i + 1 : p.i + 5], ' ')) > 0),
+    sigs AS (SELECT doc_id, {_mh_mins} FROM shingles GROUP BY doc_id),
+    bands AS (SELECT doc_id, {_mh_buckets} FROM sigs),
+    buckets AS ({_mh_bucket_rows}),
+    pairs AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    cedges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM cedges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN cedges e ON r.dst = e.a),
+    comp AS (
+      SELECT src AS doc_id, min(CAST(dst AS VARCHAR)) AS component
+      FROM reach GROUP BY src),
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY q.quality DESC, CAST(c.doc_id AS VARCHAR)) AS rn
+      FROM comp c JOIN q ON q.doc_id = c.doc_id),
+    losers AS (SELECT doc_id FROM ranked WHERE rn > 1)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\+[0-9]([()\-. ]{{0,2}}[0-9]){{6,14}}|\(?[0-9]{{3}}\)?[-. ]?[0-9]{{3}}[-. ][0-9]{{4}}',
+        '<PHONE>', 'g'),
+        '\b([0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}\b', '<IP>', 'g') AS text
+    FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
 
     from entry_ext import ext_oracles
 

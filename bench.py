@@ -16,7 +16,11 @@ scaling measurement; `--dqa-throughput` to measure the assessment half
 alone over a large constructed KG (the number comparable to the
 reference's ≈3 h drugbank run); `--streaming` to measure the
 streaming-DQA drain rate (triple file stream folded into incremental
-state per microbatch); the default run reports queries + construction.
+state per microbatch); `--curate` to measure end-to-end corpus-curation
+throughput (gate → source filter → LSH keep-best dedup → redact);
+`--incremental` to measure the incremental-DQA cost curve (seconds per
+fixed-size delta as the state grows — the bucket-pruned O(delta)
+evidence); the default run reports queries + construction.
 """
 
 from __future__ import annotations
@@ -148,6 +152,30 @@ def _materialize_corpus(n_docs: int) -> tuple[str, "GenConfig"]:
         "overwrite").parquet(os.path.join(corpus_dir, "documents.parquet"))
     spark.stop()
     return corpus_dir, cfg
+
+
+def _materialize_flat_corpus(n_docs: int) -> str:
+    """Flat (doc_id, text, source) corpus for the curation bench — the
+    interleaved datagen docs flattened to their text spans with a
+    deterministic source domain, written once as fixture prep."""
+    from pyspark.sql import functions as F
+
+    corpus_dir = tempfile.mkdtemp(prefix="bench_flat_")
+    spark = get_spark("bench-gen-flat", cores=CPUS)
+    cfg = GenConfig(n_docs=n_docs, n_entities=max(100, n_docs // 20))
+    docs = generate_documents(spark, cfg, partitions=max(16, CPUS * 2))
+    flat = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(
+            F.filter("spans", lambda s: s["kind"] == "text"),
+            lambda s: s["text"])).alias("text"),
+        F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(64))
+                 .cast("string")).alias("source"),
+    )
+    flat.write.mode("overwrite").parquet(
+        os.path.join(corpus_dir, "documents.parquet"))
+    spark.stop()
+    return corpus_dir
 
 
 def _datagen_vocab_cfg():
@@ -329,6 +357,106 @@ def main() -> None:
         spark.stop()
         shutil.rmtree(wd, ignore_errors=True)
         shutil.rmtree(sd_corpus, ignore_errors=True)
+
+    if "--curate" in sys.argv:
+        # End-to-end curation throughput: documents parquet → quality gate
+        # → source filter → LSH keep-best near-dedup → PII redaction →
+        # curated parquet (the main.py curate job, xxhash64 fast path).
+        # The corpus write is fixture prep; the timed section is the whole
+        # pipeline including the output write.
+        n_cu = int(os.environ.get("SPARK_GRAFT_CURATE_DOCS", 2_000_000))
+        cu_corpus = _materialize_flat_corpus(n_cu)
+        from pyspark.sql import SparkSession
+
+        from shacl_dqa_prototype_spark.plans.curate import curate_corpus
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(f"bench-curate-{CPUS}", cores=CPUS)
+        docs = spark.read.parquet(
+            os.path.join(cu_corpus, "documents.parquet"))
+        out_dir = tempfile.mkdtemp(prefix="bench_curated_")
+        t0 = time.time()
+        res = curate_corpus(docs, collect_stats=False)
+        res.survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "curated.parquet"))
+        cu_sec = time.time() - t0
+        n_out = spark.read.parquet(
+            os.path.join(out_dir, "curated.parquet")).count()
+        res.unpersist()
+        out["curate"] = {
+            "cores": CPUS,
+            "n_docs_in": n_cu,
+            "n_docs_out": n_out,
+            "sec": round(cu_sec, 2),
+            "docs_per_sec": round(n_cu / cu_sec, 1),
+        }
+        spark.stop()
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(cu_corpus, ignore_errors=True)
+
+    if "--incremental" in sys.argv:
+        # Incremental-state cost curve: fold K fixed-size triple deltas
+        # into a GROWING DQA state and report seconds per delta vs state
+        # size — the evidence for the bucket-pruned O(delta) commit claim
+        # (plans/incremental.py tier-1 state). A flat curve = cost tracks
+        # the delta, not the accumulated state.
+        n_in = int(os.environ.get("SPARK_GRAFT_INC_DOCS", 1_000_000))
+        k_deltas = int(os.environ.get("SPARK_GRAFT_INC_DELTAS", 10))
+        in_corpus, in_cfg = _materialize_corpus(n_in)
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+
+        from shacl_dqa_prototype_spark.plans.incremental import (
+            IncrementalDQAState,
+            apply_delta,
+        )
+        from shacl_dqa_prototype_spark.sources.sinks import read_triples
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(f"bench-inc-{CPUS}", cores=CPUS)
+        docs = spark.read.parquet(
+            os.path.join(in_corpus, "documents.parquet"))
+        wd = tempfile.mkdtemp(prefix="bench_inc_")
+        run_construction(spark, docs, entity_dictionary(spark, in_cfg),
+                         wd, n_buckets=32)
+        T = read_triples(spark, os.path.join(wd, "triples.parquet"))
+        n_t = T.count()
+        vocab, dqa_cfg = _datagen_vocab_cfg()
+        state = IncrementalDQAState.open(spark, os.path.join(wd, "state"))
+        slot = F.pmod(F.xxhash64("s", "p", "o"), F.lit(k_deltas))
+        per_delta = []
+        cum = 0
+        for i in range(k_deltas):
+            delta = T.filter(slot == i)
+            n_d = delta.count()  # fixture accounting, outside the timer
+            t0 = time.time()
+            apply_delta(state, delta, dqa_cfg, vocab, n_buckets=32,
+                        delta_id=f"bench-{i}")
+            dt = time.time() - t0
+            cum += n_d
+            per_delta.append({
+                "delta": i, "delta_triples": n_d,
+                "state_triples_after": cum, "sec": round(dt, 2),
+            })
+        first, last = per_delta[0]["sec"], per_delta[-1]["sec"]
+        out["incremental"] = {
+            "cores": CPUS,
+            "n_triples_total": n_t,
+            "k_deltas": k_deltas,
+            "per_delta": per_delta,
+            "sec_first_delta": first,
+            "sec_last_delta": last,
+            # <1 means the final delta (vs a k×-larger state) costs no
+            # more than the first — the O(delta) evidence
+            "last_over_first": round(last / first, 3),
+        }
+        spark.stop()
+        shutil.rmtree(wd, ignore_errors=True)
+        shutil.rmtree(in_corpus, ignore_errors=True)
 
     if do_scaling:
         # N→4N scaling evidence (BASELINE.json north_rule), sandbox proxy:

@@ -198,6 +198,44 @@ def _stream_dir_for(sf_dir: str, name: str) -> str:
     return _STREAM_DIR_CACHE[key]
 
 
+_FUNNEL_DIR_CACHE: dict[str, str] = {}
+
+
+def _funnel_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events split into 4 TIME-RANGE parquet files with ascending mtimes
+    — the file-stream source then delivers them as 4 microbatches in
+    event-time order (maxFilesPerTrigger=1), the arrival contract the
+    O(1)-state streaming funnel documents. Fixture prep, cached per sf."""
+    if sf_dir not in _FUNNEL_DIR_CACHE:
+        import tempfile
+        import time as _time
+
+        from pyspark.sql import Window as W
+
+        import glob
+        import shutil
+
+        d = tempfile.mkdtemp(prefix="funnelstream_")
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        part = ev.withColumn(
+            "_b", F.ntile(4).over(W.orderBy("ts", "event_id")) - 1)
+        now = _time.time()
+        for b in range(4):
+            # Spark-written parquet keeps the exact timestamp physical
+            # type the stream reader's schema expects (pandas round-trips
+            # through a mismatched INT64 encoding)
+            tmp = os.path.join(d, f"_stage{b}")
+            part.filter(F.col("_b") == b).drop("_b").coalesce(1) \
+                .write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            path = os.path.join(d, f"part-{b}.parquet")
+            shutil.move(src, path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.utime(path, (now + b, now + b))
+        _FUNNEL_DIR_CACHE[sf_dir] = d
+    return _FUNNEL_DIR_CACHE[sf_dir]
+
+
 def _docs_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -901,6 +939,24 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 7-step alternating funnel: mixed outcomes at sf0.01 (148/2)
         return funnel_conversion(ev, FUNNEL_STEPS)
     q["events_funnel"] = events_funnel
+
+    # --- STREAMING funnel: the same events arrive as a TIME-PARTITIONED
+    # file stream (4 range files, one per microbatch) and fold through the
+    # O(1)-state funnel; the final per-key state must equal the batch
+    # funnel_conversion — shares the events_funnel oracle. Time
+    # partitioning is the arrival-order contract the depth-only state
+    # documents (streaming/stateful.py).
+    def events_funnel_streaming(spark, sf_dir):
+        import uuid as _uuid
+
+        from shacl_dqa_prototype_spark.streaming.stateful import (
+            run_streaming_funnel,
+        )
+
+        return run_streaming_funnel(
+            spark, _funnel_stream_dir(spark, sf_dir), FUNNEL_STEPS,
+            query_name=f"funnel_{_uuid.uuid4().hex[:8]}")
+    q["kg_streaming_funnel"] = events_funnel_streaming
 
     def events_hist(spark, sf_dir):
         from shacl_dqa_prototype_spark.operators.features import (
@@ -1901,6 +1957,9 @@ def ext_oracles() -> dict[str, str]:
              'purchase.*error.*purchase.*error.*purchase.*error.*purchase')
              AS reached
     FROM s"""
+
+    # the streaming funnel drain's final per-key state == the batch funnel
+    o["kg_streaming_funnel"] = o["events_funnel"]
 
     # histogram: same clamp arithmetic; width = 25.0 exactly representable
     o["events_value_histogram"] = """

@@ -143,53 +143,23 @@ def cmd_curate(args) -> None:
     """documents parquet → quality gate → domain filter → near-dup removal
     (LSH + keep-best-quality) → PII redaction → curated parquet. The whole
     training-data curation pipeline as one spark-submit job; prints a
-    per-stage survivor-count JSON line."""
-    from pyspark.sql import functions as F
-
-    from shacl_dqa_prototype_spark.operators.dedup import (
-        dedup_clusters,
-        keep_best_per_cluster,
-        minhash_lsh_candidates,
-    )
-    from shacl_dqa_prototype_spark.operators.pipeline import (
-        redact_pii,
-        source_quality_filter,
-    )
-    from shacl_dqa_prototype_spark.operators.textstats import (
-        quality_gate,
-        quality_score,
-    )
+    per-stage survivor-count JSON line. Each stage is checkpointed so its
+    operators evaluate exactly once (plans/curate.py)."""
+    from shacl_dqa_prototype_spark.plans.curate import curate_corpus
 
     spark = _spark(args)
     docs = spark.read.parquet(args.docs)
-    stats = {"input": docs.count()}
-
-    gate = quality_gate(docs, max_dup_word_frac=args.max_dup_word_frac)
-    kept = docs.join(gate.filter("keep").select("doc_id"), "doc_id",
-                     "left_semi")
-    stats["after_quality_gate"] = kept.count()
-
-    if "source" in docs.columns and not args.skip_source_filter:
-        ok_src = source_quality_filter(
-            kept, min_docs=args.min_source_docs).filter("keep")
-        kept = kept.join(F.broadcast(ok_src.select("source")), "source",
-                         "left_semi")
-        stats["after_source_filter"] = kept.count()
-
-    # exact dups share every shingle, so the LSH candidate pairs subsume
-    # them — one clustering pass covers both tiers
-    pairs = minhash_lsh_candidates(kept, n=args.ngram)
-    losers = (
-        keep_best_per_cluster(dedup_clusters(pairs), quality_score(kept))
-        .filter(~F.col("keep"))
-        .select(F.col("doc_id").cast(dict(kept.dtypes)["doc_id"]))
+    res = curate_corpus(
+        docs,
+        ngram=args.ngram,
+        max_dup_word_frac=args.max_dup_word_frac,
+        min_source_docs=args.min_source_docs,
+        source_filter=not args.skip_source_filter,
+        collect_stats=not getattr(args, "no_stats", False),
     )
-    kept = kept.join(losers, "doc_id", "left_anti")
-    stats["after_near_dedup"] = kept.count()
-
-    out = kept.drop("text").join(redact_pii(kept), "doc_id")
-    out = out.withColumnsRenamed({"redacted": "text"})
-    out.write.mode("overwrite").parquet(args.output)
+    res.survivors.write.mode("overwrite").parquet(args.output)
+    res.unpersist()
+    stats = dict(res.stats)
     stats["output_path"] = args.output
     print(json.dumps(stats))
 
@@ -459,6 +429,9 @@ def main(argv: list[str] | None = None) -> None:
     pcu.add_argument("--max-dup-word-frac", type=float, default=0.9)
     pcu.add_argument("--min-source-docs", type=int, default=5)
     pcu.add_argument("--skip-source-filter", action="store_true")
+    pcu.add_argument("--no-stats", action="store_true",
+                     help="skip per-stage survivor counts (stages are "
+                          "checkpointed either way)")
 
     pd_ = sub.add_parser("dqa", help="triple table → conformance report")
     common(pd_)

@@ -80,17 +80,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_rows: int = 100_000,
+    force: bool = False,
 ) -> DataFrame:
     """All doc pairs with n-gram Jaccard ≥ threshold.
 
     shingles ⋈ shingles on shingle (candidate pairs share ≥1 shingle) →
-    groupBy pair → |∩| ; |∪| = |A|+|B|−|∩|. The pair join is the hot spot;
-    at scale swap the candidate stage for minhash_lsh_candidates below.
+    groupBy pair → |∩| ; |∪| = |A|+|B|−|∩|. The pair join is the hot spot
+    — a shared shingle fans out quadratically — so this operator REFUSES
+    corpora above ``max_rows`` documents unless ``force=True`` (a warning
+    fires either way): at scale the candidate stage must be
+    minhash_lsh_candidates below, which bounds the join by LSH bucket
+    membership instead of raw shingle sharing. The probe is
+    ``limit(max_rows + 1).count()`` — a bounded job, not a full count.
 
     The shingle subplan appears three times (both join sides + sizes) but
     is NOT cached: it is a map-side explode that stays in codegen, and a
     cache here would outlive the returned lazy DataFrame with no owner to
     unpersist it (r2 judge hygiene item)."""
+    if docs.limit(max_rows + 1).count() > max_rows:
+        import warnings
+
+        msg = (f"ngram_jaccard_pairs input exceeds {max_rows} rows: the "
+               "shingle self-join is quadratic in shared-shingle fan-out; "
+               "use minhash_lsh_candidates for the candidate stage")
+        warnings.warn(msg, ResourceWarning, stacklevel=2)
+        if not force:
+            raise ValueError(msg + " (or pass force=True)")
     sh = _shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnsRenamed({"doc_id": "doc_a"})

@@ -554,3 +554,58 @@ def test_streaming_neardup_catches_cross_batch_dups(spark, tmp_path):
         max_files_per_trigger=1, n_buckets=4,
     ).awaitTermination(120)
     assert prs.read().count() == before  # idempotent re-drain
+
+
+def test_streaming_funnel_carries_state_across_batches(spark, tmp_path):
+    """O(1)-state streaming funnel: a key whose funnel COMPLETES only
+    across microbatch boundaries must still reach full depth — the state
+    carry (n_events, depth) is what distinguishes this from re-running
+    the batch fold per epoch. Two time-range files, maxFilesPerTrigger=1
+    → two epochs; u1 does view/click in epoch 1 and purchase in epoch 2."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from shacl_dqa_prototype_spark.operators.features import funnel_conversion
+    from shacl_dqa_prototype_spark.streaming.stateful import (
+        run_streaming_funnel,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, ts_min, uid, typ):
+        return (i, t0 + dt.timedelta(minutes=ts_min), uid, typ, 1.0, None)
+
+    batch1 = [ev(1, 0, 1, "view"), ev(2, 5, 1, "click"),
+              ev(3, 1, 2, "purchase"), ev(4, 2, 2, "view")]
+    batch2 = [ev(5, 10, 1, "purchase"), ev(6, 11, 2, "view"),
+              ev(7, 12, 3, "view")]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    in_dir = str(tmp_path / "fev")
+    _os.makedirs(in_dir)
+    now = _time.time()
+    for b, rows in enumerate([batch1, batch2]):
+        stage = str(tmp_path / f"stage{b}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        import glob as _glob
+        import shutil as _shutil
+
+        src = _glob.glob(_os.path.join(stage, "part-*.parquet"))[0]
+        dst = _os.path.join(in_dir, f"part-{b}.parquet")
+        _shutil.move(src, dst)
+        _os.utime(dst, (now + b, now + b))
+    steps = ["view", "click", "purchase"]
+    got = {r["user_id"]: r for r in run_streaming_funnel(
+        spark, in_dir, steps, query_name="funnel_t").collect()}
+    # u1 completes ACROSS the epoch boundary; u2 is out of funnel order
+    assert got[1]["depth"] == 3 and got[1]["reached"]
+    assert got[2]["depth"] == 1 and not got[2]["reached"]
+    assert got[3]["depth"] == 1 and got[3]["n_events"] == 1
+    # and the drain equals the batch operator on the union
+    all_ev = spark.createDataFrame(batch1 + batch2, schema)
+    exp = {r["user_id"]: r for r in funnel_conversion(all_ev, steps).collect()}
+    for uid, e in exp.items():
+        g = got[uid]
+        assert (g["n_events"], g["depth"], g["reached"]) == (
+            e["n_events"], e["depth"], e["reached"])
