@@ -198,6 +198,24 @@ def _stream_dir_for(sf_dir: str, name: str) -> str:
     return _STREAM_DIR_CACHE[key]
 
 
+# Deterministic triangle-rich graph from the orders table, as ONE shared
+# SQL text both engines run: a 97-node ring of chain edges plus, for every
+# third order, the closing pair that plants the (k, k+1, 2k) triangle.
+TRIANGLE_EDGES_SQL = """
+SELECT concat('n', o_orderkey % 97) AS src,
+       concat('n', (o_orderkey + 1) % 97) AS dst FROM orders
+UNION ALL
+SELECT concat('n', (o_orderkey + 1) % 97), concat('n', (o_orderkey * 2) % 97)
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT concat('n', (o_orderkey * 2) % 97), concat('n', o_orderkey % 97)
+FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+# BM25 bag-of-terms query over the synthetic corpus: mixed document
+# frequencies (common / mid / mid) so idf actually differentiates.
+BM25_QUERY = ["spark", "vector", "scan"]
+
 _FUNNEL_DIR_CACHE: dict[str, str] = {}
 
 
@@ -806,6 +824,30 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select(F.col("s").alias("src"), F.col("o").alias("dst")).distinct()
         return pagerank(edges, damping=0.85, iterations=5)
     q["kg_pagerank"] = kg_pr
+
+    def kg_triangles(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.traversal import (
+            triangle_count,
+        )
+
+        _register(spark, sf_dir)
+        return triangle_count(spark.sql(TRIANGLE_EDGES_SQL))
+    q["kg_triangle_count"] = kg_triangles
+
+    def pipe_chunk(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.pipeline import (
+            chunk_documents,
+        )
+
+        return chunk_documents(_docs_flat(spark, sf_dir),
+                               chunk_tokens=32, overlap=8)
+    q["pipe_chunk_documents"] = pipe_chunk
+
+    def text_bm25(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import bm25_scores
+
+        return bm25_scores(_docs_flat(spark, sf_dir), BM25_QUERY)
+    q["text_bm25"] = text_bm25
 
     def kg_path(spark, sf_dir):
         import __spark_entry__ as core
@@ -1851,6 +1893,76 @@ def ext_oracles() -> dict[str, str]:
       FROM nodes LEFT JOIN dg ON node = a),"""
       + ",".join(_pr_iters)
       + "\n    SELECT node, round(rank, 6) AS rank FROM r5")
+
+    # triangles re-derived the canonical way (x<y<z three-way join) —
+    # independent of the engine's degree-ordered orientation
+    o["kg_triangle_count"] = f"""
+    WITH raw AS ({TRIANGLE_EDGES_SQL}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM raw WHERE src <> dst),
+    tri AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY node"""
+
+    # sliding-window chunking: stride 24 = 32 - 8; starts 0, 24, 48, ...
+    # while start < n, exactly sequence(0, n-1, 24)
+    o["pipe_chunk_documents"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0
+                  THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      FROM documents),
+    x AS (SELECT doc_id, w, len(w) AS n FROM w),
+    s AS (
+      SELECT doc_id, w, n,
+             unnest(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS cid
+      FROM x WHERE n > 0)
+    SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+           CAST(cid * 24 AS INT) AS start_token,
+           CAST(least(32, n - cid * 24) AS INT) AS n_chunk_tokens,
+           array_to_string(w[cid * 24 + 1 : cid * 24 + 32], ' ') AS chunk
+    FROM s"""
+
+    # Lucene-flavor BM25 (k1=1.2, b=0.75) over the 3-term query
+    o["text_bm25"] = r"""
+    WITH lens AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(lower(trim(text)), '\s+'))
+             END AS dl
+      FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             SUM(dl) * 1.0 / count(*) AS avgdl
+      FROM lens),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                     AS token
+            FROM documents WHERE length(trim(text)) > 0)
+      WHERE token IN ('spark', 'vector', 'scan')
+      GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token)
+    SELECT tf.doc_id,
+           round(SUM(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                     * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / s.avgdl))),
+                 6) AS score
+    FROM tf
+    JOIN df USING (token)
+    JOIN lens ON lens.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id"""
 
     o["kg_property_path"] = f"""
     WITH triples AS ({_CORE_TRIPLES_SQL}),

@@ -68,16 +68,48 @@ def _fake_decode(kind: str, payload: bytes) -> tuple[int, int, int, list[float]]
     return width, height, n_frames, feature
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def _pillow_decode(payload: bytes):
+    """REAL image decode when pillow is importable and the payload is an
+    actual image: (width, height, 1, feature[8]) with the feature = eight
+    grayscale band means in [-1, 1]. Returns None when pillow is absent
+    or the payload doesn't parse — the caller falls back to the stub, so
+    pseudo-payload fixtures (and the DuckDB oracle derived from them)
+    are byte-identical with or without the dependency."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(payload or b""))
+        img.load()
+    except Exception:
+        return None
+    width, height = img.size
+    bands = list(img.convert("L").resize((8, 1), Image.BILINEAR).getdata())
+    return width, height, 1, [b / 127.5 - 1.0 for b in bands]
+
+
+def decode_features(media: DataFrame, real_decode: bool = True) -> DataFrame:
     """Batched decode/feature-extract over Arrow batches (mapInPandas).
-    Partitioning is preserved — no shuffle between fetch and decode."""
+    Partitioning is preserved — no shuffle between fetch and decode.
+
+    ``real_decode=True`` (default) tries the pillow decoder per image
+    payload and falls back to the deterministic stub when the library is
+    absent or the bytes aren't an image — so the operator upgrades itself
+    in an environment with codecs installed without changing schema,
+    batching, or the stub-fixture results."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             # column-wise zip, not iterrows() — the per-row kernel is the
             # stub; the batch plumbing is the production pattern
-            decoded = [_fake_decode(k, p)
-                       for k, p in zip(pdf["kind"], pdf["payload"])]
+            decoded = [
+                (real_decode and k == "image" and _pillow_decode(p))
+                or _fake_decode(k, p)
+                for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
             out = pdf[["doc_id", "span_pos", "kind", "media_ref"]].copy()
             out["width"] = [d[0] for d in decoded]
             out["height"] = [d[1] for d in decoded]

@@ -132,6 +132,54 @@ def global_shuffle(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step for
+    RAG indexing and long-document pretraining: each doc becomes
+    ceil-strided windows of ``chunk_tokens`` whitespace tokens overlapping
+    by ``overlap`` (stride = chunk_tokens − overlap; the final window may
+    be short; empty docs produce no chunks).
+
+    Emits (doc_id, chunk_id, start_token, n_chunk_tokens, chunk) — enough
+    to reconstruct provenance (which doc, which offset) for every chunk.
+
+    Scale shape: ZERO shuffles — split → sequence of window starts →
+    posexplode, all JVM array expressions pipelined with the corpus scan;
+    chunk count per doc is data-derived, so no doc is padded or dropped."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.trim(F.col(text_col))
+    d = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(t, r"\s+")).alias("w"))
+    d = d.withColumn("n", F.size("w"))
+    # window starts: 0, stride, 2*stride, ... while start < n
+    starts = F.when(
+        F.col("n") > 0,
+        F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("doc_id", "w", "n",
+                 F.posexplode(starts).alias("chunk_id", "start_token"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_token",
+            F.least(F.lit(chunk_tokens),
+                    F.col("n") - F.col("start_token")).alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice("w", F.col("start_token") + 1, chunk_tokens),
+                " ").alias("chunk"),
+        )
+    )
+
+
 def source_quality_filter(
     docs: DataFrame,
     source_col: str = "source",

@@ -721,6 +721,67 @@ def quality_gate(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-side BM25 (Robertson/Sparck Jones, the Lucene-default
+    flavor: idf = ln(1 + (N − df + 0.5)/(df + 0.5))) of a bag-of-terms
+    query against every document — the lexical-retrieval scorer a RAG /
+    eval-harness pipeline runs next to the embedding ANN path. Emits
+    (doc_id, score) for every doc matching ≥ 1 query term, score rounded
+    to 6 places.
+
+    Scale shape: the token explode is filtered to the QUERY TERMS before
+    it ever shuffles (per-doc tf for ≤ |query| terms — corpus-size
+    independent width); df comes from a |query|-row aggregate of that
+    same table; N and avgdl ride one scalar aggregate. Both tiny tables
+    broadcast back, so the corpus is scanned exactly twice (once for
+    lengths, once for matching tokens) with no corpus-sized shuffle —
+    the per-doc groupBy carries only matching-term rows."""
+    if not query_terms:
+        raise ValueError("empty query")
+    t = F.lower(F.trim(F.col(text_col)))
+    lens = docs.select(
+        "doc_id",
+        F.when(F.length(t) == 0, 0)
+        .otherwise(F.size(F.split(t, r"\s+"))).cast("long").alias("dl"))
+    # N and avgdl: one scalar aggregate, broadcast
+    stats = lens.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"))
+    tf = (
+        docs.filter(F.length(t) > 0)
+        .select("doc_id", F.explode(F.split(t, r"\s+")).alias("token"))
+        .filter(F.col("token").isin(list(query_terms)))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (F.log(F.lit(1.0)
+                   + (F.col("n_docs") - F.col("df") + 0.5)
+                   / (F.col("df") + 0.5))
+             * (F.col("tf") * (k1 + 1))
+             / (F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+            .alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+    )
+
+
 def source_token_divergence(
     docs: DataFrame,
     group_col: str = "source",

@@ -860,3 +860,102 @@ def test_length_profile_approx_matches_exact(spark):
             rank_err = max(1.0, n / 10000)
             assert lo - rank_err <= target <= hi + rank_err, (
                 src, col, v, lo, hi, target)
+
+
+def test_multimodal_real_decode_with_pillow(spark):
+    """Skipped unless pillow is installed (not baked into this container):
+    a REAL PNG's dimensions must come out of decode_features in the same
+    schema the stub emits — the optional-dependency upgrade path."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (37, 21), (200, 10, 10)).save(buf, format="PNG")
+    rows = [("d1", 0, "image", "img://real", bytearray(buf.getvalue()))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.decode_features(media).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["width"], r["height"], r["n_frames"]) == (37, 21, 1)
+    assert len(r["feature"]) == 8
+    assert all(-1.0 <= f <= 1.0 for f in r["feature"])
+
+
+def test_multimodal_stub_unchanged_when_payload_not_image(spark):
+    """Non-image payloads (the pseudo-payload fixtures the contract oracle
+    re-derives in SQL) must keep the STUB result even when real decode is
+    requested — the fallback is what keeps the oracle stable."""
+    rows = [("d1", 0, "image", "img://x",
+             bytearray(b"not an image payload"))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    with_real = multimodal.decode_features(media, real_decode=True).collect()
+    without = multimodal.decode_features(media, real_decode=False).collect()
+    assert [tuple(r) for r in with_real] == [tuple(r) for r in without]
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 minus one edge = 2 triangles sharing an edge; per-node counts
+    follow (the shared-edge nodes sit in both). Duplicate/reversed/self
+    edges must not change anything."""
+    from shacl_dqa_prototype_spark.operators.traversal import triangle_count
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),   # triangle abc
+             ("b", "d"), ("c", "d"),               # triangle bcd
+             ("b", "a"), ("a", "a"), ("a", "b")]   # reverse/self/dup noise
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {"a": 1, "b": 2, "c": 2, "d": 1}
+
+
+def test_chunk_documents_windows(spark):
+    from shacl_dqa_prototype_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "one two"),                             # shorter than a chunk
+         (3, "")],                                   # empty -> no chunks
+        ["doc_id", "text"])
+    got = sorted(map(tuple, chunk_documents(
+        docs, chunk_tokens=4, overlap=1).collect()))
+    # stride 3: doc 1 starts at 0,3,6,9 — final window is 1 token
+    assert got == [
+        (1, 0, 0, 4, "t0 t1 t2 t3"),
+        (1, 1, 3, 4, "t3 t4 t5 t6"),
+        (1, 2, 6, 4, "t6 t7 t8 t9"),
+        (1, 3, 9, 1, "t9"),
+        (2, 0, 0, 2, "one two"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    """Hand-checkable BM25: the doc matching the RARE term outranks the
+    doc matching the common term with equal tf; a doc with no query term
+    emits no row; score matches the closed-form python computation."""
+    import math
+
+    from shacl_dqa_prototype_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "rare filler filler filler"),
+         (2, "common filler filler filler"),
+         (3, "common filler filler filler"),
+         (4, "common filler filler filler"),
+         (5, "filler filler filler filler")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(docs, ["rare", "common"]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] > got[2] == got[3] == got[4]
+
+    def bm25(tf, df, n=5, dl=4, avgdl=4.0, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(bm25(1, 1), abs=1e-6)
+    assert got[2] == pytest.approx(bm25(1, 3), abs=1e-6)
+    with pytest.raises(ValueError):
+        bm25_scores(docs, [])

@@ -113,6 +113,7 @@ SWEEP = [
     "text_vocab_top_tokens", "text_quality_gate", "pipe_source_filter",
     "dedup_dup_ngram_fraction", "events_asof_join", "events_rolling_1h",
     "pipe_mixture_plan", "dedup_keep_best",
+    "pipe_chunk_documents", "text_bm25", "kg_triangle_count", "pipe_curate",
 ]
 
 
