@@ -1000,6 +1000,32 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             query_name=f"funnel_{_uuid.uuid4().hex[:8]}")
     q["kg_streaming_funnel"] = events_funnel_streaming
 
+    def events_interval(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.asof import interval_join
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("event_id").alias("err_id"),
+            F.col("ts").alias("err_ts"))
+        others = ev.select("user_id", "event_id", "ts", "event_type")
+        return interval_join(
+            errors, others, lower_s=60, upper_s=1860,
+            by=("user_id",), left_ts="err_ts", right_ts="ts",
+        ).select("user_id", "err_id", "event_id", "event_type")
+    q["events_interval_join"] = events_interval
+
+    def events_cube(spark, sf_dir):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return (
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .cube("event_type", "day")
+            .agg(F.grouping_id().cast("int").alias("gid"),
+                 F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select("event_type", "day", "gid", "n", "sum_value")
+        )
+    q["events_cube"] = events_cube
+
     def events_hist(spark, sf_dir):
         from shacl_dqa_prototype_spark.operators.features import (
             value_histogram,
@@ -2072,6 +2098,22 @@ def ext_oracles() -> dict[str, str]:
 
     # the streaming funnel drain's final per-key state == the batch funnel
     o["kg_streaming_funnel"] = o["events_funnel"]
+
+    # interval join re-derived as the plain BETWEEN theta-join the binned
+    # equi-join replaces (fine at oracle scale; quadratic at corpus scale)
+    o["events_interval_join"] = """
+    SELECT e1.user_id, e1.event_id AS err_id, e2.event_id, e2.event_type
+    FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+     AND epoch_us(e2.ts) >= epoch_us(e1.ts) + 60000000
+     AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 1860000000
+    WHERE e1.event_type = 'error'"""
+
+    o["events_cube"] = """
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+           CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS INT) AS gid,
+           count(*) AS n, round(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))"""
 
     # histogram: same clamp arithmetic; width = 25.0 exactly representable
     o["events_value_histogram"] = """

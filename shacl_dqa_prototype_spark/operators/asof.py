@@ -82,3 +82,51 @@ def asof_join(
         F.col(f"_m.{on}{suffix}").alias(f"{on}{suffix}"),
         *[F.col(f"_m.{c}{suffix}").alias(f"{c}{suffix}") for c in rc],
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    lower_s: float,
+    upper_s: float,
+    by: tuple[str, ...] = ("user_id",),
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Interval (range) join: every (left, right) pair sharing ``by`` with
+    ``right_ts ∈ [left_ts + lower_s, left_ts + upper_s]`` — the "events in
+    the N minutes after each incident" primitive. Column names other than
+    ``by`` must not collide (pre-rename one side).
+
+    Spark-first shape: a raw BETWEEN theta-join degenerates to a per-key
+    nested loop; instead both sides are BINNED into windows of width
+    w = upper − lower on the microsecond axis — a left row's admissible
+    interval has width exactly w, so it overlaps AT MOST TWO consecutive
+    bins. The left side explodes into those ≤2 bins and the join is a
+    pure EQUI-join on (by…, bin) that hashes/shuffles/AQE-skew-splits
+    like any other, followed by the exact range filter. Replication
+    factor is a constant 2, independent of data, window size, or skew.
+    Microseconds (unix_micros) keep boundary membership exact and
+    SQL-oracle-portable (same discipline as rolling_window_features)."""
+    if not upper_s > lower_s:
+        raise ValueError("need upper_s > lower_s")
+    w_us = int(round((upper_s - lower_s) * 1_000_000))
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    l = left.withColumn("_lus", l_us).withColumn(
+        "_bin",
+        F.explode(F.array_distinct(F.array(
+            F.floor((F.col("_lus") + lo_us) / w_us),
+            F.floor((F.col("_lus") + hi_us) / w_us),
+        ))),
+    )
+    r = right.withColumn("_rus", r_us).withColumn(
+        "_bin", F.floor(F.col("_rus") / w_us))
+    return (
+        l.join(r, [*by, "_bin"])
+        .filter((F.col("_rus") >= F.col("_lus") + lo_us)
+                & (F.col("_rus") <= F.col("_lus") + hi_us))
+        .drop("_bin", "_lus", "_rus")
+    )

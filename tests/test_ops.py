@@ -959,3 +959,36 @@ def test_bm25_ranks_rarer_terms_higher(spark):
     assert got[2] == pytest.approx(bm25(1, 3), abs=1e-6)
     with pytest.raises(ValueError):
         bm25_scores(docs, [])
+
+
+def test_interval_join_boundaries_and_bins(spark):
+    """interval_join must include both closed bounds exactly and survive
+    the bin-boundary cases (right row at a bin edge, left interval
+    aligned to a bin) — the correctness risks of the binned equi-join."""
+    import datetime as dt
+
+    from shacl_dqa_prototype_spark.operators.asof import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [(1, 100, at(0)), (1, 101, at(1000)), (2, 102, at(0))],
+        ["user_id", "l_id", "l_ts"])
+    right = spark.createDataFrame(
+        [(1, 200, at(60)),     # exactly the lower bound of l=100
+         (1, 201, at(1860)),   # exactly the upper bound of l=100
+         (1, 202, at(1861)),   # one second past: excluded for 100
+         (1, 203, at(59)),     # one second early: excluded
+         (2, 204, at(900)),    # different key, inside 102's window
+         (1, 205, at(2860))],  # upper bound of l=101 (1000+1860)
+        ["user_id", "r_id", "r_ts"])
+    got = {(r["l_id"], r["r_id"]) for r in interval_join(
+        left, right, lower_s=60, upper_s=1860, by=("user_id",),
+        left_ts="l_ts", right_ts="r_ts").collect()}
+    assert got == {(100, 200), (100, 201), (101, 202), (101, 205),
+                   (102, 204), (101, 201)}
+    with pytest.raises(ValueError):
+        interval_join(left, right, 10, 10)

@@ -114,7 +114,19 @@ SWEEP = [
     "dedup_dup_ngram_fraction", "events_asof_join", "events_rolling_1h",
     "pipe_mixture_plan", "dedup_keep_best",
     "pipe_chunk_documents", "text_bm25", "kg_triangle_count", "pipe_curate",
+    "events_interval_join", "events_cube",
 ]
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, contract):
+    """The binned range join must plan as an EQUI hash join on
+    (key, bin) — a BETWEEN theta-join would appear as
+    BroadcastNestedLoopJoin/CartesianProduct and melt at scale."""
+    s = _explain(spark, contract["events_interval_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert ("BroadcastHashJoin" in s or "SortMergeJoin" in s
+            or "ShuffledHashJoin" in s)
 
 
 @pytest.mark.parametrize("name", SWEEP)
