@@ -387,6 +387,84 @@ def cmd_dqa(args) -> None:
         "profile": profile.as_dict() if profile is not None else {}}))
 
 
+def cmd_dqa_append(args) -> None:
+    """Incremental DQA as a spark-submit surface: fold an appended triple
+    delta (parquet dir or RDF file) into a persistent state directory —
+    bucket-pruned mergeable-state commits, idempotent per --delta-id —
+    and optionally emit the fully scored report re-derived from STATE
+    ALONE (zero historical-triple scans; plans/incremental.py). Repeated
+    appends to the same --state keep the report exactly equal to a batch
+    `dqa` run over the union of all deltas (asserted in tests)."""
+    from shacl_dqa_prototype_spark.functions.terms import OWL, RDF, RDFS
+    from shacl_dqa_prototype_spark.plans.constraints import DQAConfig
+    from shacl_dqa_prototype_spark.plans.incremental import (
+        IncrementalDQAState,
+        apply_delta,
+        score_from_state,
+    )
+    from shacl_dqa_prototype_spark.plans.vocab import (
+        mine_vocab,
+        profile_to_vocab_terms,
+        subclass_closure,
+    )
+
+    spark = _spark(args)
+    if args.delta.endswith(".parquet") or os.path.isdir(args.delta):
+        from shacl_dqa_prototype_spark.sources.sinks import read_triples
+
+        try:
+            delta = read_triples(spark, args.delta)
+        except Exception:
+            delta = spark.read.parquet(args.delta)
+    else:
+        delta, _ = _read_rdf(spark, args.delta, None)
+
+    terms, disjoint, sub_pairs = [], [], None
+    if args.vocab:
+        rows: list[tuple] = []
+        for vp in args.vocab:
+            _, r = _read_rdf(spark, vp, None)
+            rows.extend(r or [])
+        prof_v = mine_vocab(rows)
+        terms, disjoint = profile_to_vocab_terms(prof_v)
+        sub_pairs = subclass_closure(rows) or None
+    cfg = DQAConfig(
+        type_property=args.type_property or f"{RDF}type",
+        labeling_property=args.labeling_property or f"{RDFS}label",
+        description_property=args.description_property or f"{RDFS}comment",
+        interlinking_property=args.interlinking_property or f"{OWL}sameAs",
+        uris_max_length=(args.uris_max_length
+                         if args.uris_max_length is not None else 80),
+        base_uri=args.base_uri,
+    )
+    state = IncrementalDQAState.open(spark, args.state)
+    t0 = time.time()
+    apply_delta(state, delta, cfg, terms, n_buckets=args.buckets,
+                delta_id=args.delta_id)
+    out = {"state": args.state, "apply_sec": round(time.time() - t0, 2)}
+    if args.report:
+        from shacl_dqa_prototype_spark.plans.report_csv import (
+            reference_csv_rows,
+            write_reference_csv,
+        )
+
+        t0 = time.time()
+        rep = score_from_state(state, terms, cfg, disjoint_pairs=disjoint,
+                               subclass_pairs=sub_pairs)
+        report_rows = rep.collect()
+        os.makedirs(args.report, exist_ok=True)
+        ds = (args.dataset_name or "").lower().replace(" ", "_")
+        csv_name = f"dq_assessment_{ds}.csv" if ds else "dq_assessment.csv"
+        write_reference_csv(
+            reference_csv_rows(report_rows,
+                               uris_max_length=cfg.uris_max_length),
+            os.path.join(args.report, csv_name))
+        out["report_rows"] = len(report_rows)
+        out["report_sec"] = round(time.time() - t0, 2)
+        out["report"] = args.report
+    print(json.dumps(out))
+
+
 def make_pyfiles(zip_path: str) -> None:
     import zipfile
 
@@ -433,6 +511,31 @@ def main(argv: list[str] | None = None) -> None:
                      help="skip per-stage survivor counts (stages are "
                           "checkpointed either way)")
 
+    pa = sub.add_parser(
+        "dqa-append",
+        help="fold a triple delta into incremental-DQA state "
+             "(+ optional scored report from state alone)")
+    common(pa)
+    pa.add_argument("--state", required=True,
+                    help="incremental-DQA state directory")
+    pa.add_argument("--delta", required=True,
+                    help="appended triples: parquet dir OR RDF file")
+    pa.add_argument("--delta-id",
+                    help="stable id making the apply idempotent on retry")
+    pa.add_argument("--report",
+                    help="also emit the scored report (from state alone) "
+                         "to this directory")
+    pa.add_argument("--vocab", action="append", default=[],
+                    help="vocabulary file (repeatable)")
+    pa.add_argument("--buckets", type=int, default=32)
+    pa.add_argument("--dataset-name")
+    pa.add_argument("--base-uri")
+    pa.add_argument("--type-property")
+    pa.add_argument("--labeling-property")
+    pa.add_argument("--description-property")
+    pa.add_argument("--interlinking-property")
+    pa.add_argument("--uris-max-length", type=int, default=None)
+
     pd_ = sub.add_parser("dqa", help="triple table → conformance report")
     common(pd_)
     pd_.add_argument("--config",
@@ -470,6 +573,8 @@ def main(argv: list[str] | None = None) -> None:
         cmd_curate(args)
     elif args.cmd == "dqa":
         cmd_dqa(args)
+    elif args.cmd == "dqa-append":
+        cmd_dqa_append(args)
     else:
         ap.print_help()
         raise SystemExit(2)

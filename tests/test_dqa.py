@@ -447,3 +447,52 @@ def test_cmd_curate_end_to_end(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == stats["after_near_dedup"]
     assert set(out.columns) >= {"doc_id", "text", "source"}
+
+
+def test_cmd_dqa_append_matches_batch_dqa(spark, tmp_path):
+    """The spark-submit incremental surface: two dqa-append deltas into a
+    fresh state, then the state-derived report must row-for-row equal a
+    batch dqa run over the union of the deltas (same cfg, no vocab)."""
+    import argparse
+    import csv
+
+    import __spark_entry__ as core
+    from main import cmd_dqa, cmd_dqa_append
+
+    T = core._triples(spark, "/root/testdata/sf0.001")
+    split = F.pmod(F.xxhash64("s"), F.lit(2)) == 0
+    d1, d2 = str(tmp_path / "d1.parquet"), str(tmp_path / "d2.parquet")
+    allp = str(tmp_path / "all.parquet")
+    T.filter(split).write.parquet(d1)
+    T.filter(~split).write.parquet(d2)
+    T.write.parquet(allp)
+
+    common = dict(
+        master=None, shuffle_partitions=None, vocab=[],
+        dataset_name="inc", base_uri=None,
+        type_property="rdf:type", labeling_property=core.RDFS_LABEL,
+        description_property=None, interlinking_property=None,
+        uris_max_length=None,
+    )
+    state = str(tmp_path / "state")
+    cmd_dqa_append(argparse.Namespace(
+        cmd="dqa-append", state=state, delta=d1, delta_id="d1",
+        report=None, buckets=8, **common))
+    rep_dir = str(tmp_path / "inc_report")
+    cmd_dqa_append(argparse.Namespace(
+        cmd="dqa-append", state=state, delta=d2, delta_id="d2",
+        report=rep_dir, buckets=8, **common))
+
+    batch_dir = str(tmp_path / "batch_report")
+    cmd_dqa(argparse.Namespace(
+        cmd="dqa", config=None, triples=allp, triples_format=None,
+        metadata=None, metadata_format=None, metadata_class=None,
+        output=batch_dir, vocab_names=[], vocab_formats=[], **common))
+
+    def rows_of(d):
+        with open(f"{d}/dq_assessment_inc.csv") as f:
+            return sorted((r["shape_name"], r["score"], r["num_violations"])
+                          for r in csv.DictReader(f))
+
+    inc, batch = rows_of(rep_dir), rows_of(batch_dir)
+    assert inc == batch and len(inc) > 5
