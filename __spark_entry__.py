@@ -340,7 +340,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ngram=5, max_dup_word_frac=0.82,
             min_source_docs=10, min_source_quality=0.79,
             portable=True, collect_stats=False)
-        return res.survivors.select("doc_id", "text")
+        # pin only the (tiny) survivor set; release the stage checkpoints
+        out = res.survivors.select("doc_id", "text").localCheckpoint()
+        res.unpersist()
+        return out
     q["pipe_curate"] = pipe_curate
     q["text_fingerprint"] = lambda s, d: textstats.fingerprint(_docs(s, d))
 
