@@ -334,3 +334,43 @@ def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
     for i in got:
         g, e = got[i], exp[i]
         assert (pd.isna(g) and pd.isna(e)) or g == e, (i, g, e, left, right)
+
+
+# ---------------------------------------------------------------------------
+# interval_join vs the naive quadratic pair enumeration: the binned
+# equi-join must produce EXACTLY the pairs with r.t in [l.t+lo, l.t+hi],
+# for arbitrary keyed integer series and arbitrary window placement
+# (including negative lower bounds and bin-edge alignments).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    left=st.lists(st.tuples(_key, _t), min_size=1, max_size=10),
+    right=st.lists(st.tuples(_key, _t), min_size=1, max_size=10),
+    lo=st.integers(min_value=-20, max_value=20),
+    width=st.integers(min_value=1, max_value=25),
+)
+def test_interval_join_matches_naive(spark, left, right, lo, width):
+    import datetime as dt
+
+    from shacl_dqa_prototype_spark.operators.asof import interval_join
+
+    hi = lo + width
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(t):
+        return t0 + dt.timedelta(seconds=t)
+
+    lpdf = [(i, k, ts(t)) for i, (k, t) in enumerate(left)]
+    rpdf = [(j, k, ts(t)) for j, (k, t) in enumerate(right)]
+    got = {(r["li"], r["rj"]) for r in interval_join(
+        spark.createDataFrame(lpdf, ["li", "k", "lt"]),
+        spark.createDataFrame(rpdf, ["rj", "k", "rt"]),
+        lower_s=lo, upper_s=hi, by=("k",), left_ts="lt", right_ts="rt",
+    ).collect()}
+    exp = {(i, j)
+           for i, (lk, lt) in enumerate(left)
+           for j, (rk, rt) in enumerate(right)
+           if lk == rk and lt + lo <= rt <= lt + hi}
+    assert got == exp, (left, right, lo, hi)
