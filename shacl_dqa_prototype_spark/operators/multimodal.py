@@ -68,6 +68,23 @@ def _fake_decode(kind: str, payload: bytes) -> tuple[int, int, int, list[float]]
     return width, height, n_frames, feature
 
 
+# probed once per Python worker, not per row (a missing module raises a
+# fresh ImportError on EVERY import attempt — per-row retries would tax
+# large image batches for nothing)
+_PIL_IMAGE: list = []
+
+
+def _pil_image():
+    if not _PIL_IMAGE:
+        try:
+            from PIL import Image
+
+            _PIL_IMAGE.append(Image)
+        except ImportError:
+            _PIL_IMAGE.append(None)
+    return _PIL_IMAGE[0]
+
+
 def _pillow_decode(payload: bytes):
     """REAL image decode when pillow is importable and the payload is an
     actual image: (width, height, 1, feature[8]) with the feature = eight
@@ -75,9 +92,8 @@ def _pillow_decode(payload: bytes):
     or the payload doesn't parse — the caller falls back to the stub, so
     pseudo-payload fixtures (and the DuckDB oracle derived from them)
     are byte-identical with or without the dependency."""
-    try:
-        from PIL import Image
-    except ImportError:
+    Image = _pil_image()
+    if Image is None:
         return None
     import io
 
