@@ -281,6 +281,7 @@ def apply_delta(
     vocab_terms: list[VocabTerm],
     n_buckets: int = 32,
     delta_id: str | None = None,
+    parallelism: int = 4,
 ) -> None:
     """Fold one appended triple batch into the DQA state.
 
@@ -291,113 +292,157 @@ def apply_delta(
     to the violations log (append-only, no merge at all). Historical
     triples are never re-read.
 
+    The seven table folds are mutually INDEPENDENT (disjoint state dirs
+    and logs, all reading the one persisted delta), so they are submitted
+    from a thread pool (``parallelism``; Spark schedules concurrent jobs
+    fine) — the per-delta floor is the SLOWEST table's
+    bucket-probe + merge-write, not the SUM of seven driver-synchronized
+    round trips. The delta is materialized once before forking so
+    concurrent jobs never race to compute the same cached partitions.
+    Pass ``parallelism=1`` to fold sequentially.
+
     Pass ``delta_id`` (any stable string — a snapshot id, an epoch) to
     make the apply IDEMPOTENT: every table commit records it, and a retry
     after a crash that landed only some of the seven commits skips the
     tables already carrying the id (sum-merged ps_counts would otherwise
-    double-count). Old snapshots stay readable (time travel / rollback);
-    call expire_snapshots to vacuum."""
+    double-count) — unchanged under parallel folding: each table's commit
+    is still atomic and individually keyed. Old snapshots stay readable
+    (time travel / rollback); call expire_snapshots to vacuum."""
     extra = {"delta_id": delta_id} if delta_id is not None else None
 
     def _already(table: SnapshotTable) -> bool:
         return delta_id is not None and any(
             s.get("delta_id") == delta_id for s in table.snapshots())
 
-    delta = delta.persist()
-    try:
-        # subj_flags: bool-max merge, bucketed by s so successive merges and
-        # downstream per-subject work share the layout
-        if not _already(state.subj_flags):
-            d_flags = _delta_subj_flags(delta, cfg)
-            bs = _changed_buckets(d_flags, "s", n_buckets)
-            merged_flags = (
-                state.subj_flags.read_buckets(bs)
-                .unionByName(d_flags)
-                .groupBy("s")
-                .agg(*[F.max(f).alias(f) for f in _FLAGS])
+    def _fold_flags() -> None:
+        # subj_flags: bool-max merge, bucketed by s so successive merges
+        # and downstream per-subject work share the layout
+        if _already(state.subj_flags):
+            return
+        d_flags = _delta_subj_flags(delta, cfg)
+        bs = _changed_buckets(d_flags, "s", n_buckets)
+        merged_flags = (
+            state.subj_flags.read_buckets(bs)
+            .unionByName(d_flags)
+            .groupBy("s")
+            .agg(*[F.max(f).alias(f) for f in _FLAGS])
+        )
+        state.subj_flags.commit_merge_buckets(
+            merged_flags, bs, bucket_col="s", n_buckets=n_buckets,
+            extra=extra)
+
+    def _fold_ps() -> None:
+        if _already(state.ps_counts):
+            return
+        d_ps = delta.groupBy("p", "s").agg(F.count("*").alias("n"))
+        bs = _changed_buckets(d_ps, "s", n_buckets)
+        merged_ps = (
+            state.ps_counts.read_buckets(bs)
+            .unionByName(d_ps)
+            .groupBy("p", "s").agg(F.sum("n").cast("long").alias("n"))
+        )
+        state.ps_counts.commit_merge_buckets(
+            merged_ps, bs, bucket_col="s", n_buckets=n_buckets, extra=extra)
+
+    def _fold_cls() -> None:
+        if _already(state.cls_pairs):
+            return
+        d_cls = (delta.filter(F.col("p") == cfg.type_property)
+                 .select(F.col("o").alias("cls"), "s"))
+        bs = _changed_buckets(d_cls, "s", n_buckets)
+        if bs:
+            merged_cls = (
+                state.cls_pairs.read_buckets(bs)
+                .unionByName(d_cls).distinct()
             )
-            state.subj_flags.commit_merge_buckets(
-                merged_flags, bs, bucket_col="s", n_buckets=n_buckets,
+            state.cls_pairs.commit_merge_buckets(
+                merged_cls, bs, bucket_col="s", n_buckets=n_buckets,
                 extra=extra)
 
-        if not _already(state.ps_counts):
-            d_ps = delta.groupBy("p", "s").agg(F.count("*").alias("n"))
-            bs = _changed_buckets(d_ps, "s", n_buckets)
-            merged_ps = (
-                state.ps_counts.read_buckets(bs)
-                .unionByName(d_ps)
-                .groupBy("p", "s").agg(F.sum("n").cast("long").alias("n"))
-            )
-            state.ps_counts.commit_merge_buckets(
-                merged_ps, bs, bucket_col="s", n_buckets=n_buckets, extra=extra)
-
-        if not _already(state.cls_pairs):
-            d_cls = (delta.filter(F.col("p") == cfg.type_property)
-                     .select(F.col("o").alias("cls"), "s"))
-            bs = _changed_buckets(d_cls, "s", n_buckets)
-            if bs:
-                merged_cls = (
-                    state.cls_pairs.read_buckets(bs)
-                    .unionByName(d_cls).distinct()
-                )
-                state.cls_pairs.commit_merge_buckets(
-                    merged_cls, bs, bucket_col="s", n_buckets=n_buckets,
-                    extra=extra)
-
+    def _fold_po() -> None:
         ifp = [t.term for t in vocab_terms
                if t.inverse_functional and not t.deprecated]
-        if not _already(state.po_pairs):
-            d_po = delta.filter(F.col("p").isin(ifp)).select("p", "o", "s")
-            bs = _changed_buckets(d_po, "o", n_buckets)
-            if bs:
-                merged_po = (
-                    state.po_pairs.read_buckets(bs)
-                    .unionByName(d_po).distinct()
-                )
-                state.po_pairs.commit_merge_buckets(
-                    merged_po, bs, bucket_col="o", n_buckets=n_buckets,
-                    extra=extra)
+        if _already(state.po_pairs):
+            return
+        d_po = delta.filter(F.col("p").isin(ifp)).select("p", "o", "s")
+        bs = _changed_buckets(d_po, "o", n_buckets)
+        if bs:
+            merged_po = (
+                state.po_pairs.read_buckets(bs)
+                .unionByName(d_po).distinct()
+            )
+            state.po_pairs.commit_merge_buckets(
+                merged_po, bs, bucket_col="o", n_buckets=n_buckets,
+                extra=extra)
 
+    def _fold_dom() -> None:
         # (p, s) pairs of class-domain props — CorrectDomain anti-joins
         # them against cls_pairs; bucketed by s so that join co-partitions
         dom_props = sorted(_dom_class_props(vocab_terms))
-        if dom_props and not _already(state.dom_pairs):
-            d_dom = (delta.filter(F.col("p").isin(dom_props))
-                     .select("p", "s").distinct())
-            bs = _changed_buckets(d_dom, "s", n_buckets)
-            if bs:
-                merged_dom = (
-                    state.dom_pairs.read_buckets(bs)
-                    .unionByName(d_dom).distinct()
-                )
-                state.dom_pairs.commit_merge_buckets(
-                    merged_dom, bs, bucket_col="s", n_buckets=n_buckets,
-                    extra=extra)
+        if not dom_props or _already(state.dom_pairs):
+            return
+        d_dom = (delta.filter(F.col("p").isin(dom_props))
+                 .select("p", "s").distinct())
+        bs = _changed_buckets(d_dom, "s", n_buckets)
+        if bs:
+            merged_dom = (
+                state.dom_pairs.read_buckets(bs)
+                .unionByName(d_dom).distinct()
+            )
+            state.dom_pairs.commit_merge_buckets(
+                merged_dom, bs, bucket_col="s", n_buckets=n_buckets,
+                extra=extra)
 
+    def _fold_spo() -> None:
         # (p, s, o) pairs of class-range + asymmetric props — range
         # anti-joins on o against cls_pairs (hence bucketed by o);
         # asymmetric self-joins within the (small) per-prop slice
         spo_props = sorted(set(_rng_class_props(vocab_terms))
                            | set(_asym_props(vocab_terms)))
-        if spo_props and not _already(state.spo_pairs):
-            d_spo = (delta.filter(F.col("p").isin(spo_props))
-                     .select("p", "s", "o").distinct())
-            bs = _changed_buckets(d_spo, "o", n_buckets)
-            if bs:
-                merged_spo = (
-                    state.spo_pairs.read_buckets(bs)
-                    .unionByName(d_spo).distinct()
-                )
-                state.spo_pairs.commit_merge_buckets(
-                    merged_spo, bs, bucket_col="o", n_buckets=n_buckets,
-                    extra=extra)
+        if not spo_props or _already(state.spo_pairs):
+            return
+        d_spo = (delta.filter(F.col("p").isin(spo_props))
+                 .select("p", "s", "o").distinct())
+        bs = _changed_buckets(d_spo, "o", n_buckets)
+        if bs:
+            merged_spo = (
+                state.spo_pairs.read_buckets(bs)
+                .unionByName(d_spo).distinct()
+            )
+            state.spo_pairs.commit_merge_buckets(
+                merged_spo, bs, bucket_col="o", n_buckets=n_buckets,
+                extra=extra)
 
+    def _fold_mono() -> None:
         # monotone families: violations of THIS delta are final — plain
         # append, nothing merged, nothing rewritten
-        if not _already(state.mono_violations):
-            state.mono_violations.commit_append(
-                delta_monotone_violations(delta, vocab_terms, cfg),
-                extra=extra)
+        if _already(state.mono_violations):
+            return
+        state.mono_violations.commit_append(
+            delta_monotone_violations(delta, vocab_terms, cfg),
+            extra=extra)
+
+    folds = (_fold_flags, _fold_ps, _fold_cls, _fold_po, _fold_dom,
+             _fold_spo, _fold_mono)
+    delta = delta.persist()
+    try:
+        # materialize the shared input ONCE so concurrent folds read the
+        # cache instead of racing to compute the same partitions
+        delta.count()
+        if parallelism > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=parallelism) as ex:
+                futures = [ex.submit(f) for f in folds]
+                # surface the FIRST failure but let every fold finish —
+                # partial commits are healed by the delta_id retry path
+                errs = [f.exception() for f in futures]
+            for e in errs:
+                if e is not None:
+                    raise e
+        else:
+            for f in folds:
+                f()
     finally:
         delta.unpersist()
 
