@@ -1026,6 +1026,23 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["events_cube"] = events_cube
 
+    def events_pivot(spark, sf_dir):
+        # pivot with an EXPLICIT value list: Spark then skips the extra
+        # distinct-values job and the output schema is deterministic
+        # (the 100 TB discipline — an implicit pivot scans the data twice
+        # and can explode the column count)
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        types = ["click", "error", "purchase", "signup", "view"]
+        return (
+            ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+            .groupBy("day")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)))
+            .select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+                             for t in types])
+        )
+    q["events_pivot"] = events_pivot
+
     def events_hist(spark, sf_dir):
         from shacl_dqa_prototype_spark.operators.features import (
             value_histogram,
@@ -2107,6 +2124,17 @@ def ext_oracles() -> dict[str, str]:
      AND epoch_us(e2.ts) >= epoch_us(e1.ts) + 60000000
      AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 1860000000
     WHERE e1.event_type = 'error'"""
+
+    # pivot re-derived as conditional aggregation (the relational algebra
+    # a pivot compiles to)
+    o["events_pivot"] = """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+    FROM events GROUP BY 1"""
 
     o["events_cube"] = """
     SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

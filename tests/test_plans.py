@@ -114,7 +114,7 @@ SWEEP = [
     "dedup_dup_ngram_fraction", "events_asof_join", "events_rolling_1h",
     "pipe_mixture_plan", "dedup_keep_best",
     "pipe_chunk_documents", "text_bm25", "kg_triangle_count", "pipe_curate",
-    "events_interval_join", "events_cube",
+    "events_interval_join", "events_cube", "events_pivot",
 ]
 
 
