@@ -18,10 +18,17 @@ PIZZA = "/root/reference/datasets/pizza"
 
 @pytest.mark.skipif(not os.path.exists(PIZZA), reason="reference not mounted")
 def test_pizza_full_parity(spark):
-    from tools.pizza_parity import build_report, compare, compare_csv, vocab_report
+    from tools.pizza_parity import (
+        build_report,
+        compare,
+        compare_csv,
+        compare_vocab_profile,
+        vocab_report,
+    )
 
     report, md_report, (vocab_rows, prof_v, T_raw) = build_report(spark)
     vrep = vocab_report(spark, vocab_rows, prof_v, T_raw)
     errors = compare(report, md_report, vrep)
     errors += compare_csv(report, md_report, vrep)
+    errors += compare_vocab_profile(prof_v)
     assert errors == [], "\n".join(errors)
