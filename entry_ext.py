@@ -931,6 +931,29 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.read()
     q["snapshot_merge_upsert"] = snap_upsert
 
+    def snap_delete(spark, sf_dir):
+        # keyed row-level DELETE after an upsert: the erased keys must be
+        # gone, the upsert must survive on the rest — state re-derived
+        # declaratively by the oracle
+        import tempfile
+
+        from shacl_dqa_prototype_spark.sources.snapshots import SnapshotTable
+
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_delete_"),
+                          base.schema)
+        t.commit_overwrite(base, bucket_col="o_orderkey", n_buckets=8)
+        t.merge_upsert(orders.filter("o_orderkey % 7 = 0").select(
+            "o_orderkey", "o_custkey",
+            (F.col("o_totalprice") + 1000).alias("o_totalprice")),
+            "o_orderkey")
+        t.merge_delete(
+            orders.filter("o_orderkey % 9 = 0").select("o_orderkey"),
+            "o_orderkey")
+        return t.read()
+    q["snapshot_merge_delete"] = snap_delete
+
     def dedup_best(spark, sf_dir):
         from shacl_dqa_prototype_spark.operators.dedup import (
             exact_duplicate_clusters,
@@ -2124,6 +2147,19 @@ def ext_oracles() -> dict[str, str]:
      AND epoch_us(e2.ts) >= epoch_us(e1.ts) + 60000000
      AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 1860000000
     WHERE e1.event_type = 'error'"""
+
+    # keyed delete after a keyed upsert, re-derived declaratively
+    o["snapshot_merge_delete"] = """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+    u1 AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0),
+    merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u1)
+      UNION ALL SELECT * FROM u1)
+    SELECT * FROM merged WHERE o_orderkey % 9 <> 0"""
 
     # pivot re-derived as conditional aggregation (the relational algebra
     # a pivot compiles to)

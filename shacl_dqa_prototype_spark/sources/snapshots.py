@@ -386,6 +386,39 @@ class SnapshotTable:
             merged, changed, bucket_col=key_col, n_buckets=nb,
             extra={**(extra or {}), "operation_detail": "merge_upsert"})
 
+    def merge_delete(
+        self, keys: DataFrame, key_col: str,
+        n_buckets: int = 32, extra: dict | None = None,
+    ) -> str:
+        """Keyed row-level DELETE: every current row whose ``key_col``
+        value appears in ``keys`` is removed — the right-to-erasure /
+        record-retraction primitive (Iceberg's ``DELETE FROM … WHERE key
+        IN (…)`` for the keyed case).
+
+        Scale shape: identical pruning discipline to merge_upsert — the
+        delete-key bucket set is computed first, only those ``_bucket=k``
+        leaf dirs are read and anti-joined, and only they are rewritten;
+        untouched buckets are carried by reference. Deleting 1k rows from
+        a 10⁹-row table rewrites ~1/n_buckets of the files. The old
+        snapshot stays readable (time travel shows pre-delete state until
+        expire_snapshots vacuums it — run it promptly when the delete is
+        a compliance erasure)."""
+        snap = self.current()
+        if snap is not None and snap.get("bucket_col") not in (None, key_col):
+            raise ValueError(
+                f"table is bucketed by {snap.get('bucket_col')!r}, "
+                f"cannot delete on {key_col!r}")
+        nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
+        bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
+        changed = [r[0] for r in
+                   keys.select(bucket_of.alias("b")).distinct().collect()]
+        current = self.read_buckets(changed)
+        remaining = current.join(
+            keys.select(key_col).distinct(), key_col, "left_anti")
+        return self.commit_merge_buckets(
+            remaining, changed, bucket_col=key_col, n_buckets=nb,
+            extra={**(extra or {}), "operation_detail": "merge_delete"})
+
     # ---- maintenance ----------------------------------------------------
 
     def compact(self, max_dirs: int = 16,

@@ -609,3 +609,40 @@ def test_streaming_funnel_carries_state_across_batches(spark, tmp_path):
         g = got[uid]
         assert (g["n_events"], g["depth"], g["reached"]) == (
             e["n_events"], e["depth"], e["reached"])
+
+
+def test_merge_delete_removes_rows_and_prunes(spark, tmp_path):
+    """merge_delete: targeted keys vanish, everything else survives
+    verbatim, untouched buckets' files stay byte-identical on disk, the
+    pre-delete snapshot is still time-travel readable, and a
+    key-mismatched delete is refused."""
+    import glob
+    import hashlib
+
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", LongType(), False)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(64)], schema)
+    s1 = t.commit_overwrite(base, bucket_col="k", n_buckets=8)
+    dir1 = t.current()["dirs"][0]
+
+    def file_state():
+        return {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+                for p in glob.glob(os.path.join(t.data_dir, dir1, "**",
+                                                "*.parquet"), recursive=True)}
+
+    before = file_state()
+    t.merge_delete(
+        spark.createDataFrame([("k3",), ("k17",), ("kmissing",)], ["k"]), "k")
+    got = {r["k"]: r["n"] for r in t.read().collect()}
+    assert len(got) == 62 and "k3" not in got and "k17" not in got
+    assert got["k5"] == 5
+    # the original commit's files are untouched on disk (pruned rewrite)
+    assert file_state() == before
+    # pre-delete state still readable via time travel
+    assert t.read(s1).count() == 64
+    with pytest.raises(ValueError):
+        t.merge_delete(spark.createDataFrame([(1,)], ["n"]), "n")
