@@ -67,6 +67,10 @@ HEADLINE = [
     "tpch_q1_pricing",
     "top_customer_per_nation",
     "events_sessionize",
+    # round-4 operator families
+    "text_bm25",
+    "pipe_chunk_documents",
+    "events_interval_join",
 ]
 
 
