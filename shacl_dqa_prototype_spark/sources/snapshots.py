@@ -404,10 +404,15 @@ class SnapshotTable:
         expire_snapshots vacuums it — run it promptly when the delete is
         a compliance erasure)."""
         snap = self.current()
-        if snap is not None and snap.get("bucket_col") not in (None, key_col):
+        # require an exact bucket-layout match up front (r4 advice): an
+        # unbucketed table (bucket_col=None) would read ALL buckets and
+        # run the anti-join before commit_merge_buckets finally rejected
+        # the mismatched parent layout — fail before any job runs.
+        if snap is not None and snap.get("bucket_col") != key_col:
             raise ValueError(
                 f"table is bucketed by {snap.get('bucket_col')!r}, "
-                f"cannot delete on {key_col!r}")
+                f"cannot delete on {key_col!r} (keyed delete needs the "
+                "table committed with bucket_col=key_col)")
         nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
         bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
         changed = [r[0] for r in

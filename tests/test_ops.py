@@ -706,6 +706,12 @@ def test_pagerank_analytic(spark):
     cyc = spark.createDataFrame([("x", "y"), ("y", "x")], ["src", "dst"])
     ranks = {r["node"]: r["rank"] for r in pagerank(cyc, iterations=7).collect()}
     assert ranks == {"x": 0.5, "y": 0.5}
+    # iterations=0 returns the uniform prior and must stay ACTIONABLE —
+    # the result is a projection of the nd localCheckpoint, which r4
+    # unpersisted unconditionally (r4 advice: blocks unrecoverable)
+    zero = pagerank(edges, iterations=0)
+    assert {r["rank"] for r in zero.collect()} == {0.5}
+    assert zero.count() == 2  # second action still works
 
 
 def test_follow_property_path(spark):
@@ -808,13 +814,16 @@ def test_ngram_jaccard_guardrail(spark):
     with pytest.warns(ResourceWarning, match="minhash_lsh_candidates"):
         with pytest.raises(ValueError, match="force=True"):
             dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_rows=10)
-    with pytest.warns(ResourceWarning):
+    # force=True skips the probe job entirely (r4 advice: the eager count
+    # re-evaluated upstream lineage solely to emit a warning) — no warning
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
         forced = dedup.ngram_jaccard_pairs(
             docs, n=3, threshold=0.5, max_rows=10, force=True)
     assert forced.count() > 0  # identical-suffix groups pair up
     # under the threshold: no warning, no error
-    import warnings
-
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         small = dedup.ngram_jaccard_pairs(
@@ -992,3 +1001,7 @@ def test_interval_join_boundaries_and_bins(spark):
                    (102, 204), (101, 201)}
     with pytest.raises(ValueError):
         interval_join(left, right, 10, 10)
+    # a window narrower than 1µs rounds to an empty bin width — must
+    # error loudly, not return zero rows (r4 advice)
+    with pytest.raises(ValueError, match="microsecond"):
+        interval_join(left, right, 1.0, 1.0 + 2e-7)

@@ -646,3 +646,9 @@ def test_merge_delete_removes_rows_and_prunes(spark, tmp_path):
     assert t.read(s1).count() == 64
     with pytest.raises(ValueError):
         t.merge_delete(spark.createDataFrame([(1,)], ["n"]), "n")
+    # an UNBUCKETED table is refused up front too (r4 advice: previously
+    # the mismatch surfaced only after a full read + anti-join)
+    t2 = SnapshotTable(spark, str(tmp_path / "tbl2"), schema)
+    t2.commit_overwrite(base)  # no bucket_col
+    with pytest.raises(ValueError, match="bucket"):
+        t2.merge_delete(spark.createDataFrame([("k3",)], ["k"]), "k")
