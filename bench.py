@@ -86,24 +86,37 @@ def _bench_overrides():
     }
 
 
-def _run_queries(spark) -> tuple[dict[str, float], float]:
-    """Returns (per-query seconds, setup seconds). Setup = materializing
-    the shared cached triple view and the compiled violations cache —
-    one-time costs that would otherwise be charged to whichever query
-    happens to run first, making per-query numbers unattributable."""
+def _run_queries(
+    spark, passes: int = 3,
+) -> tuple[dict[str, float], dict[str, list[float]], float]:
+    """Returns (per-query MEDIAN seconds, per-query raw samples, setup
+    seconds). Setup = writing the predicate-partitioned triple store +
+    materializing the compiled violations cache — one-time costs that
+    would otherwise be charged to whichever query happens to run first,
+    making per-query numbers unattributable.
+
+    The suite runs ``passes`` interleaved full passes (q1..qN, q1..qN,
+    …) and reports the per-query MEDIAN: on a shared host a single-shot
+    run inherits whatever load spike coincides with it (the r4 driver
+    run read ~20% over the builder's quiet-window log on byte-identical
+    code), and interleaving means a transient spike hits one pass of
+    many queries instead of one query's only sample. Raw samples ride
+    along so the spread is visible in the JSON."""
     qs = entrymod.queries()
     qs.update(_bench_overrides())
     t0 = time.time()
     entrymod._triples(spark, SF_DIR).count()
     entrymod._plan(spark, SF_DIR).violations.count()
     setup = round(time.time() - t0, 3)
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    return times, setup
+    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    for _ in range(passes):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.time() - t0, 3))
+    med = {n: round(sorted(v)[len(v) // 2], 3) for n, v in samples.items()}
+    return med, samples, setup
 
 
 def _fingerprint_micro() -> dict[str, float]:
@@ -254,11 +267,16 @@ def main() -> None:
     do_scaling = "--scaling" in sys.argv
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
+    store_dir = os.environ.setdefault(
+        "SPARK_GRAFT_TRIPLE_STORE", tempfile.mkdtemp(prefix="bench_store_"))
     spark = get_spark("bench", cores=CPUS)
-    t0 = time.time()
-    times, setup = _run_queries(spark)
-    total = round(time.time() - t0, 3)
+    times, samples, setup = _run_queries(spark)
+    # headline value = one-time setup + the suite at its per-query
+    # medians (NOT raw wall across all interleaved passes — that would
+    # triple-count every query)
+    total = round(setup + sum(times.values()), 3)
     spark.stop()
+    shutil.rmtree(store_dir, ignore_errors=True)
 
     # Construction throughput on a pre-materialized corpus.
     n_docs = int(100000 * max(sf / 0.1, 0.05))
@@ -272,10 +290,12 @@ def main() -> None:
     }
 
     out = {
-        "metric": "headline suite wall time",
+        "metric": "headline suite wall time (setup + per-query medians, "
+                  "3 interleaved passes)",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_samples": samples,
         "setup_sec": setup,
         "sf": sf,
         "construction": construction,

@@ -109,7 +109,7 @@ SWEEP = [
     "pipe_pack_sequences", "pipe_stratified_sample", "pipe_redact_pii",
     "pipe_global_shuffle", "text_repetition", "text_length_profile",
     "kg_extract_mentions", "kg_link_entities", "kg_media_features",
-    "events_sessionize", "rdf_ntriples_roundtrip",
+    "events_sessionize", "rdf_ntriples_roundtrip", "rdf_turtle_roundtrip",
     "text_vocab_top_tokens", "text_quality_gate", "pipe_source_filter",
     "dedup_dup_ngram_fraction", "events_asof_join", "events_rolling_1h",
     "pipe_mixture_plan", "dedup_keep_best",

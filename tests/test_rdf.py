@@ -156,3 +156,103 @@ def test_ntriples_corrupt_record_mode(spark, tmp_path):
         "garbage line", '<http://e/s> <http://e/p> "unterminated .'}
     good = df.filter(F.col("_corrupt").isNull())
     assert good.count() == 2 and good.filter(F.col("s").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Distributed Turtle (round-5: byte-range chunked read_turtle_distributed)
+# ---------------------------------------------------------------------------
+
+def _gen_ttl(n_subjects: int, seed_tag: str = "") -> str:
+    """Deterministic Turtle dump exercising every statement shape the
+    distributed reader must align across chunk boundaries: multi-line
+    ';'/',' continuations, IRIs containing dots and '#', dotted pname
+    locals, escaped + lang-tagged + typed literals, bare numbers at EOL,
+    booleans, blank nodes, comments (incl. one trailing the terminator
+    and ones containing '.' and '<'), and blank lines between statements."""
+    out = [f"@prefix ex: <{EX}{seed_tag}> .",
+           f"@prefix xsd: <{XSD_NS}> .", ""]
+    for i in range(n_subjects):
+        if i % 7 == 0:
+            out.append(f"# comment {i} with a dot. and <angle and \"quote")
+        s = f"ex:s{i}" if i % 3 else f"<{EX}{seed_tag}path.v1/s{i}#frag>"
+        out.append(f"{s} a ex:T{i % 5} ;")
+        out.append(f'  ex:name "n\\"{i}\\u00e9" , "alt{i}"@en ;')
+        out.append(f"  ex:rank {i} ;")
+        out.append(f"  ex:score {i}.5 ;")
+        out.append(f"  ex:ok {'true' if i % 2 else 'false'} ;")
+        out.append(f'  ex:code "c{i}"^^xsd:string ;')
+        out.append(f"  ex:ver ex:rel1.{i % 4}x ;")
+        out.append(f"  ex:link ex:s{(i + 1) % n_subjects} . # trail.")
+        if i % 11 == 0:
+            out.append(f"_:b{i} ex:of ex:s{i} ; ex:n {i} .")
+        if i % 5 == 0:
+            out.append("")
+    return "\n".join(out) + "\n"
+
+
+def test_turtle_distributed_matches_driver(spark, tmp_path):
+    """Set/multiset equality between read_turtle_distributed and the
+    driver parser on a ~1 MB dump chunked into ~60 byte ranges — every
+    chunk boundary lands somewhere different (mid-literal, mid-IRI,
+    on blank/comment lines, mid-statement)."""
+    from shacl_dqa_prototype_spark.sources.rdf import (
+        parse_turtle,
+        read_turtle_distributed,
+    )
+
+    text = _gen_ttl(3000)
+    p = tmp_path / "big.ttl"
+    p.write_text(text)
+    expected = sorted(parse_turtle(text))
+    got = sorted(
+        tuple(r) for r in read_turtle_distributed(
+            spark, str(p), target_chunk_bytes=16 << 10).collect())
+    assert len(got) == len(expected) and got == expected
+
+
+def test_turtle_distributed_tiny_chunks(spark, tmp_path):
+    """256-byte chunks over a small file: more chunks than statements, so
+    every alignment path (empty chunk, skip-to-boundary, read-past-end,
+    boundary exactly at a chunk edge) is exercised."""
+    from shacl_dqa_prototype_spark.sources.rdf import (
+        parse_turtle,
+        read_turtle_distributed,
+    )
+
+    text = _gen_ttl(40)
+    p = tmp_path / "small.ttl"
+    p.write_text(text)
+    got = sorted(
+        tuple(r) for r in read_turtle_distributed(
+            spark, str(p), target_chunk_bytes=256).collect())
+    assert got == sorted(parse_turtle(text))
+
+
+def test_turtle_distributed_directory_and_guard(spark, tmp_path):
+    """A directory of shard files reads as their union; a triple-quoted
+    literal is refused loudly (the one construct whose raw newlines make
+    line-local boundary detection unsound)."""
+    import pytest
+
+    from shacl_dqa_prototype_spark.sources.rdf import (
+        parse_turtle,
+        read_turtle_distributed,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    expected = []
+    for k in range(3):
+        text = _gen_ttl(25, seed_tag=f"shard{k}/")
+        (d / f"part-{k}.ttl").write_text(text)
+        expected.extend(parse_turtle(text))
+    (d / "_SUCCESS").write_text("")  # marker files must be skipped
+    got = sorted(tuple(r) for r in read_turtle_distributed(
+        spark, str(d), target_chunk_bytes=1 << 10).collect())
+    assert got == sorted(expected)
+
+    bad = tmp_path / "long.ttl"
+    bad.write_text(
+        f'@prefix ex: <{EX}> .\nex:a ex:p """multi\nline""" .\n')
+    with pytest.raises(Exception, match="triple-quoted"):
+        read_turtle_distributed(spark, str(bad)).collect()
