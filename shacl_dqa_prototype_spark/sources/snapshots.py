@@ -42,11 +42,19 @@ bucket-by-bucket, or dropped whole-directory (expire) — no commit ever
 rewrites existing data files. compact() folds a long dir chain back into
 one dir when the driver-side path list grows past a threshold.
 
-Concurrency contract: SINGLE WRITER per table (matching the incremental
-pipeline's one-driver design). Readers are always safe; expire_snapshots
-additionally keeps young orphan dirs (see its docstring) so a vacuum
-racing a crashed-or-in-flight commit step 1 cannot delete data the next
-log append will reference.
+Concurrency contract (r5 — Iceberg-parity optimistic concurrency):
+every commit is a compare-and-swap on the log tail, serialized by an
+exclusive flock on the log file. A plain append or blind overwrite whose
+parent moved is RE-BASED onto the actual tail and committed (Iceberg
+retries non-conflicting operations); a state-derived commit — bucket
+merge, schema evolution — raises CommitConflictError, because its data
+was computed from a snapshot that is no longer the table state.
+merge_upsert/merge_delete pin their reads to the snapshot they validated
+(snapshot-isolated read-modify-write) and retry the whole cycle a
+bounded number of times before surfacing the conflict. Readers are
+always safe; expire_snapshots additionally keeps young orphan dirs (see
+its docstring) so a vacuum racing a crashed-or-in-flight commit step 1
+cannot delete data the next log append will reference.
 """
 
 from __future__ import annotations
@@ -60,6 +68,17 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+_UNSET = object()  # sentinel: "caller did not pin a parent snapshot"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this operation read its parent
+    snapshot — the optimistic-concurrency rejection a real Iceberg
+    catalog's atomic metadata swap produces. Re-read the table state and
+    re-run the operation (merge_upsert/merge_delete do so automatically,
+    bounded by ``max_retries``)."""
 
 
 class SnapshotTable:
@@ -88,6 +107,38 @@ class SnapshotTable:
             f.write(json.dumps(rec) + "\n")
             f.flush()
             os.fsync(f.fileno())
+
+    def _append_log_cas(self, expected_parent_id: str | None,
+                        build_rec, rebase=None) -> dict:
+        """Step-2 commit with the catalog's compare-and-swap semantics:
+        under an exclusive flock on the log, re-read the tail and append
+        only if it is still ``expected_parent_id``. When the parent moved:
+        with ``rebase`` (appends/blind overwrites — operations that
+        commute) the record is rebuilt against the ACTUAL tail and
+        committed; without it (state-derived commits) raise
+        CommitConflictError, exactly what Iceberg's catalog swap would
+        reject. flock is released on close and on process death, so a
+        crashed writer never wedges the table."""
+        import fcntl
+
+        with open(self.log_path, "a") as f:
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            tail = self.current()
+            tail_id = tail["snapshot_id"] if tail else None
+            if tail_id == expected_parent_id:
+                rec = build_rec(tail)
+            elif rebase is not None:
+                rec = rebase(tail)
+            else:
+                raise CommitConflictError(
+                    f"concurrent commit on {self.table_dir}: this operation "
+                    f"read snapshot {expected_parent_id!r} but the table "
+                    f"tail is now {tail_id!r}; re-read the table state and "
+                    "retry")
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+            return rec
 
     # ---- commits --------------------------------------------------------
 
@@ -119,42 +170,61 @@ class SnapshotTable:
     def _commit(self, df: DataFrame, operation: str,
                 bucket_col: str | None, n_buckets: int,
                 extra: dict | None = None,
-                sort_cols: list[str] | None = None) -> str:
-        parent = self.current()
+                sort_cols: list[str] | None = None,
+                expected_parent: dict | None | object = _UNSET) -> str:
+        """``expected_parent`` pins the commit to a caller-read snapshot
+        (CAS, no rebase — for state-derived writes like compact); unset,
+        the commit re-bases onto the actual tail under race (appends and
+        blind overwrites commute)."""
+        pinned = expected_parent is not _UNSET
+        parent = expected_parent if pinned else self.current()
         dirname = self._write_data(df, bucket_col, n_buckets, sort_cols)
-        dirs = [dirname] if operation == "overwrite" else (
-            (parent["dirs"] if parent else []) + [dirname]
-        )
         snapshot_id = uuid.uuid4().hex[:16]
-        # dir → bucket_col for every dir this snapshot references: read()
-        # resolves each dir with the layout it was WRITTEN with (Iceberg's
-        # partition-spec-per-file analog), so append chains may change
-        # layout. Carried in full on every record so expire_snapshots can
-        # drop old records without losing still-referenced dirs' layouts.
-        parent_layouts = (parent or {}).get("dir_layouts") or {}
-        dir_layouts = ({k: v for k, v in parent_layouts.items() if k in dirs}
-                       if operation != "overwrite" else {})
-        dir_layouts[dirname] = bucket_col
-        # appends after a merge_buckets commit must carry the parent's
-        # bucket restrictions — otherwise superseded buckets resurface
-        parent_buckets = (parent or {}).get("dir_buckets") or {}
-        dir_buckets = ({k: v for k, v in parent_buckets.items() if k in dirs}
-                       if operation != "overwrite" else {})
-        self._append_log({
-            "snapshot_id": snapshot_id,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "ts": time.time(),
-            "operation": operation,
-            "dirs": dirs,
-            "dir_layouts": dir_layouts,
-            **({"dir_buckets": dir_buckets} if dir_buckets else {}),
-            "bucket_col": bucket_col,
-            "n_buckets": n_buckets if bucket_col else None,
-            # every record carries the in-force schema so vacuuming an old
-            # evolve_schema record can never orphan the evolution
-            "schema": json.dumps(self.schema.jsonValue()),
-            **(extra or {}),
-        })
+
+        def build(tail: dict | None) -> dict:
+            """Assemble the log record against ``tail`` — normally the
+            parent read above; under a commit race, the ACTUAL tail
+            (appends and blind overwrites commute, so re-basing them is
+            Iceberg's automatic retry with the data dir reused as-is)."""
+            dirs = [dirname] if operation == "overwrite" else (
+                (tail["dirs"] if tail else []) + [dirname]
+            )
+            # dir → bucket_col for every dir this snapshot references:
+            # read() resolves each dir with the layout it was WRITTEN with
+            # (Iceberg's partition-spec-per-file analog), so append chains
+            # may change layout. Carried in full on every record so
+            # expire_snapshots can drop old records without losing
+            # still-referenced dirs' layouts.
+            tail_layouts = (tail or {}).get("dir_layouts") or {}
+            dir_layouts = (
+                {k: v for k, v in tail_layouts.items() if k in dirs}
+                if operation != "overwrite" else {})
+            dir_layouts[dirname] = bucket_col
+            # appends after a merge_buckets commit must carry the parent's
+            # bucket restrictions — otherwise superseded buckets resurface
+            tail_buckets = (tail or {}).get("dir_buckets") or {}
+            dir_buckets = (
+                {k: v for k, v in tail_buckets.items() if k in dirs}
+                if operation != "overwrite" else {})
+            return {
+                "snapshot_id": snapshot_id,
+                "parent_id": tail["snapshot_id"] if tail else None,
+                "ts": time.time(),
+                "operation": operation,
+                "dirs": dirs,
+                "dir_layouts": dir_layouts,
+                **({"dir_buckets": dir_buckets} if dir_buckets else {}),
+                "bucket_col": bucket_col,
+                "n_buckets": n_buckets if bucket_col else None,
+                # every record carries the in-force schema so vacuuming an
+                # old evolve_schema record can never orphan the evolution
+                "schema": json.dumps(self.schema.jsonValue()),
+                **(extra or {}),
+            }
+
+        self._append_log_cas(
+            parent["snapshot_id"] if parent else None, build,
+            rebase=None if pinned else build)
         return snapshot_id
 
     def commit_append(self, df: DataFrame, bucket_col: str | None = None,
@@ -173,6 +243,7 @@ class SnapshotTable:
     def commit_merge_buckets(
         self, df: DataFrame, changed_buckets, bucket_col: str,
         n_buckets: int = 32, extra: dict | None = None,
+        expected_parent: dict | None | object = _UNSET,
     ) -> str:
         """Overwrite ONLY the given buckets (Iceberg's dynamic partition
         overwrite): ``df`` must hold the complete new content of
@@ -180,8 +251,15 @@ class SnapshotTable:
         parent snapshot BY REFERENCE — zero data rewritten for untouched
         buckets, so an append-merge writes O(|changed buckets|) not
         O(|table|). Requires the parent chain to share this bucket layout
-        (first commit on an empty table is fine)."""
-        parent = self.current()
+        (first commit on an empty table is fine).
+
+        ``expected_parent`` pins the commit to the snapshot the CALLER
+        derived ``df`` from (merge_upsert/merge_delete pass the snapshot
+        they read): the commit is rejected with CommitConflictError if
+        the table tail moved — a bucket overwrite computed against a
+        stale state must never land (Iceberg's overwrite validation)."""
+        parent = self.current() if expected_parent is _UNSET \
+            else expected_parent
         changed = sorted({int(b) for b in changed_buckets})
         changed_set = set(changed)
         if parent:
@@ -215,18 +293,20 @@ class SnapshotTable:
         dir_layouts[dirname] = bucket_col
         dir_buckets[dirname] = changed
         snapshot_id = uuid.uuid4().hex[:16]
-        self._append_log({
-            "snapshot_id": snapshot_id,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "ts": time.time(),
-            "operation": "merge_buckets",
-            "dirs": dirs,
-            "dir_layouts": dir_layouts,
-            "dir_buckets": dir_buckets,
-            "bucket_col": bucket_col,
-            "n_buckets": n_buckets,
-            **(extra or {}),
-        })
+        self._append_log_cas(
+            parent["snapshot_id"] if parent else None,
+            lambda tail: {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "ts": time.time(),
+                "operation": "merge_buckets",
+                "dirs": dirs,
+                "dir_layouts": dir_layouts,
+                "dir_buckets": dir_buckets,
+                "bucket_col": bucket_col,
+                "n_buckets": n_buckets,
+                **(extra or {}),
+            })
         return snapshot_id
 
     # ---- reads ----------------------------------------------------------
@@ -272,19 +352,21 @@ class SnapshotTable:
                     "was removed or retyped")
         parent = self.current()
         snapshot_id = uuid.uuid4().hex[:16]
-        self._append_log({
-            "snapshot_id": snapshot_id,
-            "parent_id": parent["snapshot_id"] if parent else None,
-            "ts": time.time(),
-            "operation": "evolve_schema",
-            "schema": json.dumps(new_schema.jsonValue()),
-            "dirs": parent["dirs"] if parent else [],
-            "dir_layouts": (parent or {}).get("dir_layouts") or {},
-            **({"dir_buckets": parent["dir_buckets"]}
-               if parent and parent.get("dir_buckets") else {}),
-            "bucket_col": (parent or {}).get("bucket_col"),
-            "n_buckets": (parent or {}).get("n_buckets"),
-        })
+        self._append_log_cas(
+            parent["snapshot_id"] if parent else None,
+            lambda tail: {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent["snapshot_id"] if parent else None,
+                "ts": time.time(),
+                "operation": "evolve_schema",
+                "schema": json.dumps(new_schema.jsonValue()),
+                "dirs": parent["dirs"] if parent else [],
+                "dir_layouts": (parent or {}).get("dir_layouts") or {},
+                **({"dir_buckets": parent["dir_buckets"]}
+                   if parent and parent.get("dir_buckets") else {}),
+                "bucket_col": (parent or {}).get("bucket_col"),
+                "n_buckets": (parent or {}).get("n_buckets"),
+            })
         self.schema = new_schema
         return snapshot_id
 
@@ -350,6 +432,7 @@ class SnapshotTable:
     def merge_upsert(
         self, updates: DataFrame, key_col: str,
         n_buckets: int = 32, extra: dict | None = None,
+        max_retries: int = 2,
     ) -> str:
         """Keyed MERGE (upsert, last-writer-wins): rows of ``updates``
         replace current rows with the same ``key_col`` value and insert
@@ -367,28 +450,44 @@ class SnapshotTable:
         Upserting 1k rows into a 10⁹-row, 32-bucket table therefore
         touches ~1/32nd of the data files and rewrites nothing else —
         the same pruning discipline as the incremental-DQA state commits
-        (plans/incremental.py)."""
-        snap = self.current()
-        if snap is not None and snap.get("bucket_col") not in (None, key_col):
-            raise ValueError(
-                f"table is bucketed by {snap.get('bucket_col')!r}, "
-                f"cannot merge on {key_col!r}")
-        nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
-        bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
-        changed = [r[0] for r in
-                   updates.select(bucket_of.alias("b")).distinct().collect()]
-        current = self.read_buckets(changed)
-        merged = (
-            current.join(updates.select(key_col), key_col, "left_anti")
-            .unionByName(updates.select(current.columns))
-        )
-        return self.commit_merge_buckets(
-            merged, changed, bucket_col=key_col, n_buckets=nb,
-            extra={**(extra or {}), "operation_detail": "merge_upsert"})
+        (plans/incremental.py).
+
+        Concurrency: the whole read-modify-write is SNAPSHOT-ISOLATED —
+        the buckets are read AT the snapshot validated here, and the
+        commit is pinned to it; if another writer lands in between, the
+        commit is rejected and the full cycle re-runs against the new
+        state, up to ``max_retries`` times before the conflict
+        surfaces."""
+        last: CommitConflictError | None = None
+        for _ in range(max_retries + 1):
+            snap = self.current()
+            if snap is not None and snap.get("bucket_col") not in (None, key_col):
+                raise ValueError(
+                    f"table is bucketed by {snap.get('bucket_col')!r}, "
+                    f"cannot merge on {key_col!r}")
+            nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
+            bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
+            changed = [r[0] for r in
+                       updates.select(bucket_of.alias("b")).distinct().collect()]
+            current = self.read_buckets(
+                changed, snapshot_id=snap["snapshot_id"] if snap else None)
+            merged = (
+                current.join(updates.select(key_col), key_col, "left_anti")
+                .unionByName(updates.select(current.columns))
+            )
+            try:
+                return self.commit_merge_buckets(
+                    merged, changed, bucket_col=key_col, n_buckets=nb,
+                    extra={**(extra or {}), "operation_detail": "merge_upsert"},
+                    expected_parent=snap)
+            except CommitConflictError as e:
+                last = e
+        raise last
 
     def merge_delete(
         self, keys: DataFrame, key_col: str,
         n_buckets: int = 32, extra: dict | None = None,
+        max_retries: int = 2,
     ) -> str:
         """Keyed row-level DELETE: every current row whose ``key_col``
         value appears in ``keys`` is removed — the right-to-erasure /
@@ -403,26 +502,36 @@ class SnapshotTable:
         snapshot stays readable (time travel shows pre-delete state until
         expire_snapshots vacuums it — run it promptly when the delete is
         a compliance erasure)."""
-        snap = self.current()
-        # require an exact bucket-layout match up front (r4 advice): an
-        # unbucketed table (bucket_col=None) would read ALL buckets and
-        # run the anti-join before commit_merge_buckets finally rejected
-        # the mismatched parent layout — fail before any job runs.
-        if snap is not None and snap.get("bucket_col") != key_col:
-            raise ValueError(
-                f"table is bucketed by {snap.get('bucket_col')!r}, "
-                f"cannot delete on {key_col!r} (keyed delete needs the "
-                "table committed with bucket_col=key_col)")
-        nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
-        bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
-        changed = [r[0] for r in
-                   keys.select(bucket_of.alias("b")).distinct().collect()]
-        current = self.read_buckets(changed)
-        remaining = current.join(
-            keys.select(key_col).distinct(), key_col, "left_anti")
-        return self.commit_merge_buckets(
-            remaining, changed, bucket_col=key_col, n_buckets=nb,
-            extra={**(extra or {}), "operation_detail": "merge_delete"})
+        last: CommitConflictError | None = None
+        for _ in range(max_retries + 1):
+            snap = self.current()
+            # require an exact bucket-layout match up front (r4 advice):
+            # an unbucketed table (bucket_col=None) would read ALL buckets
+            # and run the anti-join before commit_merge_buckets finally
+            # rejected the mismatched parent layout — fail before any job
+            # runs.
+            if snap is not None and snap.get("bucket_col") != key_col:
+                raise ValueError(
+                    f"table is bucketed by {snap.get('bucket_col')!r}, "
+                    f"cannot delete on {key_col!r} (keyed delete needs the "
+                    "table committed with bucket_col=key_col)")
+            nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
+            bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
+            changed = [r[0] for r in
+                       keys.select(bucket_of.alias("b")).distinct().collect()]
+            current = self.read_buckets(
+                changed, snapshot_id=snap["snapshot_id"] if snap else None)
+            remaining = current.join(
+                keys.select(key_col).distinct(), key_col, "left_anti")
+            try:
+                return self.commit_merge_buckets(
+                    remaining, changed, bucket_col=key_col, n_buckets=nb,
+                    extra={**(extra or {}),
+                           "operation_detail": "merge_delete"},
+                    expected_parent=snap)
+            except CommitConflictError as e:
+                last = e
+        raise last
 
     # ---- maintenance ----------------------------------------------------
 
@@ -444,12 +553,15 @@ class SnapshotTable:
         snap = self.current()
         if snap is None or len(snap["dirs"]) <= max_dirs:
             return None
+        # the rewrite is derived from `snap`, so the commit is PINNED to
+        # it: a concurrent append must win over the compaction (which the
+        # caller just re-runs later), never be clobbered by it
         return self._commit(
-            self.read(), "overwrite", snap.get("bucket_col"),
-            snap.get("n_buckets") or 32,
+            self.read(snap["snapshot_id"]), "overwrite",
+            snap.get("bucket_col"), snap.get("n_buckets") or 32,
             extra={"compacted_from": len(snap["dirs"]),
                    **({"sort_cols": sort_cols} if sort_cols else {})},
-            sort_cols=sort_cols)
+            sort_cols=sort_cols, expected_parent=snap)
 
     def expire_snapshots(self, keep_last: int = 1,
                          orphan_grace_s: float = 3600.0) -> list[str]:

@@ -652,3 +652,83 @@ def test_merge_delete_removes_rows_and_prunes(spark, tmp_path):
     t2.commit_overwrite(base)  # no bucket_col
     with pytest.raises(ValueError, match="bucket"):
         t2.merge_delete(spark.createDataFrame([("k3",)], ["k"]), "k")
+
+
+def test_snapshot_optimistic_concurrency(spark, tmp_path):
+    """Two writers on one table (r4 verdict item 5): a state-derived
+    commit whose parent snapshot moved is REJECTED with
+    CommitConflictError (Iceberg's catalog compare-and-swap), a plain
+    append re-bases onto the actual tail and commits, and merge_upsert's
+    bounded retry re-runs its snapshot-isolated read-modify-write so both
+    writers' rows land with a correct parent chain."""
+    import pytest
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from shacl_dqa_prototype_spark.sources.snapshots import (
+        CommitConflictError,
+        SnapshotTable,
+    )
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", LongType(), False)])
+    d = str(tmp_path / "tbl")
+    t1 = SnapshotTable(spark, d, schema)
+    t2 = SnapshotTable(spark, d, schema)  # second writer, same table
+    base = spark.createDataFrame([(f"k{i}", i) for i in range(16)], schema)
+    t1.commit_overwrite(base, bucket_col="k", n_buckets=4)
+    stale = t1.current()
+
+    # t2 lands a commit inside t1's read-modify-write window
+    t2.merge_upsert(spark.createDataFrame([("k1", 100)], schema), "k")
+    tail_before = t1.current()["snapshot_id"]
+
+    # 1. the losing state-derived commit errors cleanly; log tail unchanged
+    with pytest.raises(CommitConflictError, match="retry"):
+        t1.commit_merge_buckets(
+            spark.createDataFrame([("k2", 200)], schema), [0, 1, 2, 3],
+            bucket_col="k", n_buckets=4, expected_parent=stale)
+    assert t1.current()["snapshot_id"] == tail_before
+    assert {r["k"]: r["n"] for r in t1.read().collect()}["k2"] == 2
+
+    def racy_current(t, n_stale):
+        """Make t.current() return the pre-race snapshot for the first
+        ``n_stale`` calls — simulating the other writer committing after
+        this writer read its parent."""
+        calls = {"n": 0}
+        real = SnapshotTable.current
+
+        def cur():
+            calls["n"] += 1
+            return stale if calls["n"] <= n_stale else real(t)
+        t.current = cur
+
+    # 2. a plain append whose parent moved RE-BASES: both commits survive
+    racy_current(t1, 1)  # _commit's parent read is stale; CAS re-reads
+    sid = t1.commit_append(
+        spark.createDataFrame([("x9", 9)], schema), bucket_col="k",
+        n_buckets=4)
+    del t1.current
+    tail = t1.current()
+    assert tail["snapshot_id"] == sid
+    assert tail["parent_id"] == tail_before  # re-based, not stale-parented
+    got = {r["k"]: r["n"] for r in t1.read().collect()}
+    assert got["k1"] == 100 and got["x9"] == 9  # nothing clobbered
+
+    # 3. merge_upsert retries its whole snapshot-isolated cycle and wins
+    racy_current(t1, 1)
+    t1.merge_upsert(spark.createDataFrame([("k3", 300)], schema), "k")
+    del t1.current
+    got = {r["k"]: r["n"] for r in t1.read().collect()}
+    assert got["k3"] == 300 and got["k1"] == 100 and got["x9"] == 9
+    assert len(got) == 17
+
+    # 4. compact derived from a stale snapshot must conflict, not clobber
+    for i in range(3):
+        t1.commit_append(
+            spark.createDataFrame([(f"a{i}", i)], schema),
+            bucket_col="k", n_buckets=4)
+    racy_current(t1, 1)
+    with pytest.raises(CommitConflictError):
+        t1.compact(max_dirs=0)
+    del t1.current
+    assert len({r["k"] for r in t1.read().collect()}) == 20
