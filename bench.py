@@ -263,6 +263,277 @@ def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
     return dt, n_triples
 
 
+def _ann_recall(n_vecs: int = 100_000, dim: int = 64,
+                n_queries: int = 8, k: int = 10) -> dict:
+    """Recall@k of the two ANN operators vs the exact cosine top-k on a
+    100k-vector clustered synthetic corpus (r4 verdict item 4: the
+    contract oracles pin ANN exactness only at sf0.001-0.01, where
+    probing is nearly exhaustive — this measures recall where pruning
+    actually bites). The recall/cost dial is swept around the defaults:
+    LSH probe_hamming ∈ {0,1,2} (default 2) and IVF n_probe ∈ {1,2,4}
+    (default 2); cost = measured fraction of the corpus rows the probed
+    scan touches (bucket sizes from one shared signature/quantizer pass,
+    so the sweep adds no per-query jobs beyond the operator calls)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from shacl_dqa_prototype_spark.operators.similarity import (
+        ann_topk,
+        cosine_topk,
+        ivf_topk,
+        lsh_signatures,
+        query_signature,
+    )
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark("bench-ann", cores=CPUS)
+    # clustered corpus: 16 gaussian clusters so near-neighbor structure
+    # exists (i.i.d. gaussian vectors are pairwise near-orthogonal at
+    # dim=64 and recall@k would measure noise ranking, not ANN quality)
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((16, dim)) * 1.5
+    center_arr = F.element_at(
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centers]),
+        (F.col("id") % 16 + 1).cast("int"))
+    noise = F.array(*[F.randn(seed=100 + j) for j in range(dim)])
+    corpus = (
+        spark.range(n_vecs)
+        .select(F.col("id").alias("vec_id"),
+                F.zip_with(center_arr, noise,
+                           lambda a, b: a + b).alias("embedding"))
+        .cache())
+    corpus.count()
+    queries = [list(r["embedding"]) for r in corpus.filter(
+        F.col("vec_id") % (n_vecs // n_queries) == 3).limit(n_queries)
+        .collect()]
+
+    # shared cost accounting: LSH bucket sizes + IVF cell sizes, one pass
+    n_planes, seed, n_cells = 12, 42, 16
+    sig_sizes = {r["lsh_sig"]: r["n"] for r in lsh_signatures(
+        corpus, dim, n_planes, seed).groupBy("lsh_sig")
+        .agg(F.count("*").alias("n")).collect()}
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=5).fit(feat)
+    cell_sizes = {r["prediction"]: r["n"] for r in km.transform(feat)
+                  .groupBy("prediction").agg(F.count("*").alias("n"))
+                  .collect()}
+
+    def lsh_scanned(q, h):
+        from itertools import combinations
+        qsig = query_signature(q, n_planes, seed)
+        sigs = [qsig ^ sum(1 << b for b in flip)
+                for hh in range(h + 1)
+                for flip in combinations(range(n_planes), hh)]
+        return sum(sig_sizes.get(s, 0) for s in sigs)
+
+    def ivf_scanned(q, p):
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a)) or 1.0
+            nb = math.sqrt(sum(float(y) ** 2 for y in b)) or 1.0
+            return num / (na * nb)
+        cells = sorted(range(n_cells),
+                       key=lambda i: -cos(q, km.clusterCenters()[i]))[:p]
+        return sum(cell_sizes.get(c, 0) for c in cells)
+
+    exact = [set(r["vec_id"] for r in
+                 cosine_topk(corpus, q, k).collect()) for q in queries]
+    res: dict = {"n_vecs": n_vecs, "dim": dim, "k": k,
+                 "n_queries": n_queries, "lsh": {}, "ivf": {}}
+    for h in (0, 1, 2):
+        rec, frac = [], []
+        for q, ex in zip(queries, exact):
+            ids = {r["vec_id"] for r in ann_topk(
+                corpus, q, k, n_planes=n_planes, seed=seed,
+                probe_hamming=h).collect()}
+            rec.append(len(ids & ex) / k)
+            frac.append(lsh_scanned(q, h) / n_vecs)
+        res["lsh"][f"probe_hamming={h}"] = {
+            "recall_at_10": round(sum(rec) / len(rec), 3),
+            "scan_fraction": round(sum(frac) / len(frac), 4),
+            "default": h == 2}
+    for p in (1, 2, 4):
+        rec, frac = [], []
+        for q, ex in zip(queries, exact):
+            ids = {r["vec_id"] for r in ivf_topk(
+                corpus, q, k, n_cells=n_cells, n_probe=p,
+                seed=seed).collect()}
+            rec.append(len(ids & ex) / k)
+            frac.append(ivf_scanned(q, p) / n_vecs)
+        res["ivf"][f"n_probe={p}"] = {
+            "recall_at_10": round(sum(rec) / len(rec), 3),
+            "scan_fraction": round(sum(frac) / len(frac), 4),
+            "default": p == 2}
+    corpus.unpersist()
+    spark.stop()
+    return res
+
+
+def _skew_bench(n_edges: int = 4_000_000, hub_frac: float = 0.3,
+                n_nodes: int = 1_000_000) -> dict:
+    """Skew evidence (r4 verdict item 6): the salting/AQE design for the
+    graph + linking paths, MEASURED instead of asserted. Two comparisons
+    on one hub-heavy fixture (one node on ``hub_frac`` of all edges):
+
+    * connected_components (distributed large-star/small-star forced via
+      driver_threshold=0) under the engine's default config (broadcast
+      joins + AQE skew-join splits) vs a forced plain sort-merge-join
+      config (autoBroadcastJoinThreshold=-1, skewJoin off) — the star
+      rounds join the full edge set on ``src``, where the hub key lands
+      in one reducer without mitigation;
+    * salted_docs_per_entity (two-phase salted distinct count,
+      operators/link.py E4) vs the naive countDistinct aggregate on a
+      30%-hot candidate key.
+
+    Plus the ISOLATED mechanism measurement: the large-star shape's
+    ``edges ⋈ per-src-mins`` join on a 48M-row fixture whose hub
+    partition (~600 MB) crosses AQE's default 256 MB skew threshold,
+    broadcast disabled on BOTH sides so only skewJoin.enabled differs —
+    below that size the single-JVM local mode absorbs the straggler and
+    the toggle is noise (measured: ±10% at 4-16M rows), which is itself
+    worth knowing: the CC end-to-end total at this scale is dominated by
+    the dedup distincts, not the skewed join.
+
+    Each measurement best-of-2 interleaved (this host's documented
+    run-to-run variance)."""
+    from pyspark.sql import SparkSession
+
+    from shacl_dqa_prototype_spark.operators.connected_components import (
+        connected_components,
+    )
+    from shacl_dqa_prototype_spark.operators.link import (
+        salted_docs_per_entity,
+    )
+
+    fixture = tempfile.mkdtemp(prefix="bench_skew_")
+    epath = os.path.join(fixture, "edges")
+    cpath = os.path.join(fixture, "cands")
+    hub_pct = int(hub_frac * 100)
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark("bench-skew-gen", cores=CPUS)
+    from pyspark.sql import functions as F
+
+    spark.range(n_edges).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < hub_pct, F.lit("HUB"))
+        .otherwise(F.concat(F.lit("n"), F.pmod(
+            F.xxhash64("id", F.lit(1)), F.lit(n_nodes)))).alias("src"),
+        F.concat(F.lit("n"), F.pmod(
+            F.xxhash64("id", F.lit(2)), F.lit(n_nodes))).alias("dst"),
+    ).write.mode("overwrite").parquet(epath)
+    spark.range(n_edges).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < hub_pct,
+               F.lit("urn:hub"))
+        .otherwise(F.concat(F.lit("urn:e"), F.pmod(
+            F.xxhash64("id", F.lit(3)), F.lit(200_000)))).alias("candidate"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(500_000)).alias("doc_id"),
+    ).write.mode("overwrite").parquet(cpath)
+
+    # linking popularity: salted vs naive, interleaved best-of-2
+    cands = spark.read.parquet(cpath)
+
+    def run_salted():
+        salted_docs_per_entity(cands).write.format("noop") \
+            .mode("overwrite").save()
+
+    def run_naive():
+        cands.groupBy("candidate").agg(
+            F.count_distinct("doc_id").alias("popularity")
+        ).write.format("noop").mode("overwrite").save()
+
+    t_salt = min(_timed(run_salted), _timed(run_salted))
+    t_naive = min(_timed(run_naive), _timed(run_naive))
+    spark.stop()
+
+    res: dict = {
+        "n_edges": n_edges, "hub_fraction": hub_frac, "n_nodes": n_nodes,
+        "popularity_salted_sec": round(t_salt, 2),
+        "popularity_naive_countdistinct_sec": round(t_naive, 2),
+        "popularity_note": (
+            "parity expected: Spark rewrites count_distinct as a two-phase "
+            "aggregate whose first shuffle keys on (candidate, doc_id), "
+            "spreading the hot key like the explicit salt does; the salted "
+            "form keeps the per-reducer bound explicit and engine-version-"
+            "independent"),
+    }
+
+    # isolated skewed-join mechanism: hub partition must EXCEED AQE's
+    # default skewedPartitionThresholdInBytes (256 MB) to be split
+    n_big = 48_000_000
+    spark = get_spark("bench-skew-gen2", cores=CPUS)
+    big = spark.range(n_big).select(
+        F.when(F.pmod(F.xxhash64("id"), F.lit(100)) < 50, F.lit("HUB"))
+        .otherwise(F.concat(F.lit("n"), F.pmod(
+            F.xxhash64("id", F.lit(1)), F.lit(2_000_000)))).alias("src"),
+        F.concat(F.lit("n"), F.pmod(
+            F.xxhash64("id", F.lit(2)), F.lit(2_000_000))).alias("dst"))
+    big.write.mode("overwrite").parquet(os.path.join(fixture, "big"))
+    spark.read.parquet(os.path.join(fixture, "big")).groupBy("src").agg(
+        F.min("dst").alias("mn")).write.mode("overwrite").parquet(
+        os.path.join(fixture, "mins"))
+    spark.stop()
+
+    def star_join_run(skew_on: bool) -> float:
+        spark = get_spark(f"bench-skewjoin-{skew_on}", cores=CPUS,
+                          extra_conf={
+                              "spark.sql.autoBroadcastJoinThreshold": "-1",
+                              "spark.sql.adaptive.skewJoin.enabled":
+                                  str(skew_on).lower()})
+        e = spark.read.parquet(os.path.join(fixture, "big"))
+        mins = spark.read.parquet(os.path.join(fixture, "mins"))
+        t0 = time.time()
+        e.join(mins, "src").select(
+            F.xxhash64("dst", "mn").alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        spark.stop()
+        return dt
+
+    sj = {True: [], False: []}
+    for _ in range(2):
+        for on in (True, False):
+            sj[on].append(star_join_run(on))
+    res["star_join_48m_half_hub"] = {
+        "sec_skewjoin_on": round(min(sj[True]), 2),
+        "sec_skewjoin_off": round(min(sj[False]), 2),
+        "speedup": round(min(sj[False]) / min(sj[True]), 2),
+    }
+    configs = {
+        "mitigated": {},
+        "plain_smj": {"spark.sql.autoBroadcastJoinThreshold": "-1",
+                      "spark.sql.adaptive.skewJoin.enabled": "false"},
+    }
+    times = {k: [] for k in configs}
+    for _ in range(2):  # interleaved: a load spike can't bias one config
+        for label, conf in configs.items():
+            spark = get_spark(f"bench-skew-{label}", cores=CPUS,
+                              extra_conf=conf)
+            edges = spark.read.parquet(epath)
+            t0 = time.time()
+            mapping = connected_components(edges, driver_threshold=0)
+            n_mapped = mapping.count()
+            times[label].append(time.time() - t0)
+            spark.stop()
+    for label, ts in times.items():
+        res[f"cc_sec_{label}"] = round(min(ts), 2)
+    res["cc_nodes_mapped"] = n_mapped
+    res["cc_speedup_from_mitigation"] = round(
+        res["cc_sec_plain_smj"] / res["cc_sec_mitigated"], 2)
+    shutil.rmtree(fixture, ignore_errors=True)
+    return res
+
+
 def main() -> None:
     do_scaling = "--scaling" in sys.argv
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
@@ -371,12 +642,47 @@ def main() -> None:
         ).awaitTermination()
         sd_sec = time.time() - t0
         n_epochs = len(state.ps_counts.snapshots())
+
+        # Vacuum hygiene (r4 verdict item 7): a many-epoch drain grows
+        # every state table's dir chain + commit log; measure the state
+        # dir before/after the periodic compact+expire maintenance, and
+        # prove the vacuum is contents-preserving.
+        def _dir_stats(root):
+            n_files = n_bytes = 0
+            for dp, _, fns in os.walk(root):
+                for fn in fns:
+                    n_files += 1
+                    n_bytes += os.path.getsize(os.path.join(dp, fn))
+            return n_files, n_bytes
+
+        state_dir = os.path.join(wd, "state")
+        rows_before = {n: t.read().count()
+                       for n, t in state.tables().items()}
+        files_b, bytes_b = _dir_stats(state_dir)
+        t0 = time.time()
+        state.vacuum()
+        vac_sec = time.time() - t0
+        files_a, bytes_a = _dir_stats(state_dir)
+        rows_after = {n: t.read().count()
+                      for n, t in state.tables().items()}
+        assert rows_after == rows_before, (rows_before, rows_after)
         out["streaming_dqa"] = {
             "cores": CPUS,
             "n_triples": n_t,
             "epochs": n_epochs,
             "sec": round(sd_sec, 2),
             "triples_per_sec": round(n_t / sd_sec, 1),
+            "vacuum": {
+                "sec": round(vac_sec, 2),
+                "state_files_before": files_b,
+                "state_files_after": files_a,
+                "state_mb_before": round(bytes_b / 1e6, 1),
+                "state_mb_after": round(bytes_a / 1e6, 1),
+                "snapshots_per_table_before": n_epochs,
+                "snapshots_per_table_after": len(
+                    state.ps_counts.snapshots()),
+                "rows_preserved": True,
+            },
         }
         spark.stop()
         shutil.rmtree(wd, ignore_errors=True)
@@ -481,6 +787,9 @@ def main() -> None:
         spark.stop()
         shutil.rmtree(wd, ignore_errors=True)
         shutil.rmtree(in_corpus, ignore_errors=True)
+
+    if "--ann-recall" in sys.argv:
+        out["ann_recall"] = _ann_recall()
 
     if do_scaling:
         # N→4N scaling evidence (BASELINE.json north_rule), sandbox proxy:

@@ -536,7 +536,8 @@ class SnapshotTable:
     # ---- maintenance ----------------------------------------------------
 
     def compact(self, max_dirs: int = 16,
-                sort_cols: list[str] | None = None) -> str | None:
+                sort_cols: list[str] | None = None,
+                extra: dict | None = None) -> str | None:
         """If the current snapshot references more than ``max_dirs`` data
         dirs, fold everything into ONE overwrite commit (keeping the
         current bucket layout). Bounds driver-side path resolution and
@@ -560,7 +561,8 @@ class SnapshotTable:
             self.read(snap["snapshot_id"]), "overwrite",
             snap.get("bucket_col"), snap.get("n_buckets") or 32,
             extra={"compacted_from": len(snap["dirs"]),
-                   **({"sort_cols": sort_cols} if sort_cols else {})},
+                   **({"sort_cols": sort_cols} if sort_cols else {}),
+                   **(extra or {})},
             sort_cols=sort_cols, expected_parent=snap)
 
     def expire_snapshots(self, keep_last: int = 1,

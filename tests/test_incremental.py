@@ -186,3 +186,46 @@ def test_incremental_scores_match_batch_report(spark, tmp_path):
     batch_rows = sorted((tuple(r) for r in batch.select(*cols).collect()),
                         key=_key)
     assert inc_rows == batch_rows
+
+
+def test_vacuum_bounds_state_and_preserves_idempotence(spark, tmp_path):
+    """vacuum() (r5): compact+expire over all 7 state tables must (a)
+    preserve every table's contents exactly, (b) fold each log to one
+    snapshot, (c) shrink the on-disk dir chain, and (d) keep apply_delta
+    replay-idempotent — the vacuum carries the applied delta_ids forward
+    in the compaction record, so a replayed old delta is still a no-op."""
+    import os
+
+    T = core._triples(spark, SF)
+    state = _fold_in_two(spark, tmp_path, T)
+
+    def dir_count(root):
+        return sum(len(fs) for _, _, fs in os.walk(root))
+
+    rows_before = {n: t.read().count() for n, t in state.tables().items()}
+    n_before = state.ps_counts.read().agg(F.sum("n")).first()[0]
+    files_before = dir_count(str(tmp_path / "state"))
+
+    deleted = state.vacuum(orphan_grace_s=0.0)
+    assert any(v > 0 for v in deleted.values())
+
+    assert {n: t.read().count()
+            for n, t in state.tables().items()} == rows_before
+    # ≤1: a family whose folds were all empty never committed (dom_pairs
+    # on this vocab) and stays at zero snapshots
+    assert all(len(t.snapshots()) <= 1 for t in state.tables().values())
+    assert dir_count(str(tmp_path / "state")) < files_before
+    tip = state.ps_counts.current()
+    assert set(tip["applied_delta_ids"]) == {"d1", "d2"}
+
+    # replaying a pre-vacuum delta is STILL a no-op
+    split = F.abs(F.xxhash64("s")) % 2 == 0
+    apply_delta(state, T.filter(split), core.ENTRY_CFG, core.ENTRY_VOCAB,
+                n_buckets=4, delta_id="d1")
+    assert state.ps_counts.read().agg(F.sum("n")).first()[0] == n_before
+    assert all(len(t.snapshots()) <= 1 for t in state.tables().values())
+
+    # and a genuinely NEW delta still applies after the vacuum
+    apply_delta(state, T.filter(split).limit(0), core.ENTRY_CFG,
+                core.ENTRY_VOCAB, n_buckets=4, delta_id="d3")
+    assert state.ps_counts.read().agg(F.sum("n")).first()[0] == n_before

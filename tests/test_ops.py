@@ -871,18 +871,28 @@ def test_length_profile_approx_matches_exact(spark):
                 src, col, v, lo, hi, target)
 
 
-def test_multimodal_real_decode_with_pillow(spark):
-    """Skipped unless pillow is installed (not baked into this container):
-    a REAL PNG's dimensions must come out of decode_features in the same
-    schema the stub emits — the optional-dependency upgrade path."""
-    pytest.importorskip("PIL")
-    import io
+def _make_png(width: int, height: int, rgb=(200, 10, 10)) -> bytes:
+    """A complete valid PNG from the stdlib alone (zlib + struct) so the
+    real-decode test runs in every environment, pillow or not."""
+    import struct
+    import zlib
 
-    from PIL import Image
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
 
-    buf = io.BytesIO()
-    Image.new("RGB", (37, 21), (200, 10, 10)).save(buf, format="PNG")
-    rows = [("d1", 0, "image", "img://real", bytearray(buf.getvalue()))]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(rgb) * width for _ in range(height))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_multimodal_real_decode_png(spark):
+    """A REAL PNG's dimensions must come out of decode_features in the
+    stub's schema — via pillow's full decode when installed, else via the
+    pure-python header parse (r4 verdict stretch: this test no longer
+    skips in codec-less environments)."""
+    rows = [("d1", 0, "image", "img://real", bytearray(_make_png(37, 21)))]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = multimodal.decode_features(media).collect()
     assert len(got) == 1
@@ -890,6 +900,15 @@ def test_multimodal_real_decode_with_pillow(spark):
     assert (r["width"], r["height"], r["n_frames"]) == (37, 21, 1)
     assert len(r["feature"]) == 8
     assert all(-1.0 <= f <= 1.0 for f in r["feature"])
+    # the header tier alone gets the dims right too (unit level, no Spark)
+    assert multimodal._header_dims(_make_png(640, 480)) == (640, 480)
+    assert multimodal._header_dims(b"not an image") is None
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert multimodal._header_dims(gif) == (320, 200)
+    jpeg = (b"\xff\xd8\xff\xe0\x00\x10" + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0\x00\x11\x08" + (21).to_bytes(2, "big")
+            + (37).to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
+    assert multimodal._header_dims(jpeg) == (37, 21)
 
 
 def test_multimodal_stub_unchanged_when_payload_not_image(spark):
