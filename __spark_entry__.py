@@ -978,4 +978,6 @@ def oracle_sql() -> dict[str, str]:
     o["incremental_dqa_range_cls"] = o["shape_correct_range_class"]
     o["incremental_dqa_disjoint"] = o["shape_disjoint_classes"]
     o["incremental_dqa_asymmetric"] = o["shape_asymmetric"]
+    # r5: post-vacuum state must still derive the exact batch profile
+    o["incremental_dqa_vacuum"] = o["profile_triples_per_property"]
     return o

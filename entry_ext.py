@@ -1259,6 +1259,24 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  "num_violations")
     q["incremental_dqa_scores"] = inc_scores
 
+    # state MAINTENANCE is contents-preserving: after vacuum() (compact +
+    # expire across all 7 tables, applied delta_ids carried forward in the
+    # compaction record) the state-derived triples-per-property must still
+    # equal the batch profile oracle — r5, the bounded-growth half is
+    # measured in bench.py --streaming
+    def inc_vacuum(spark, sf_dir):
+        from shacl_dqa_prototype_spark.plans.incremental import (
+            profile_from_state,
+        )
+
+        state, _, _, _ = _inc_state(spark, sf_dir, "core")
+        state.vacuum(orphan_grace_s=0.0)
+        assert all(len(t.snapshots()) <= 1
+                   for t in state.tables().values())
+        return profile_from_state(state)["triples_per_property"].select(
+            "p", F.col("num_triples").cast("long"))
+    q["incremental_dqa_vacuum"] = inc_vacuum
+
     # --- STREAMING DQA: the same corpus arrives as a triple STREAM and is
     # folded into the incremental state per microbatch (foreachBatch →
     # apply_delta, (run, epoch)-idempotent). Shares the batch family oracle.
