@@ -424,6 +424,12 @@ def read_turtle_distributed(
     else:
         files = [path]
     plan: list[tuple[str, int, int, str]] = []
+    # saturate the cluster even for mid-size files: at least 2 chunks per
+    # core (down to a 1 MB floor — the python tokenizer costs ~3 MB/s per
+    # core, so sub-MB chunks would be all task overhead). Measured on a
+    # 116 MB dump at local[32]: 2 MB chunks = 22.8 MB/s / 900k triples/s,
+    # 6.9× the driver parser; the 32 MB default alone gave only 4 tasks.
+    par = spark.sparkContext.defaultParallelism
     for fp in files:
         size = os.path.getsize(fp)
         if size == 0:
@@ -432,7 +438,8 @@ def read_turtle_distributed(
             head = f.read(min(size, header_scan_bytes)).decode(
                 "utf-8", "replace")
         header = "\n".join(_TTL_PREFIX_DECL.findall(head))
-        n_chunks = max(1, -(-size // target_chunk_bytes))
+        n_chunks = max(-(-size // target_chunk_bytes),
+                       min(2 * par, -(-size // (1 << 20))))
         step = -(-size // n_chunks)
         plan.extend(
             (fp, lo, min(lo + step, size), header)
