@@ -732,3 +732,48 @@ def test_snapshot_optimistic_concurrency(spark, tmp_path):
         t1.compact(max_dirs=0)
     del t1.current
     assert len({r["k"] for r in t1.read().collect()}) == 20
+
+
+class _FakeTable(SnapshotTable):
+    """Log-only SnapshotTable (no Spark) for cross-process CAS tests."""
+
+    def __init__(self, d):  # noqa: D401 - skip data-dir setup
+        self.table_dir = d
+        self.log_path = os.path.join(d, "snapshots.jsonl")
+
+
+def _cas_race_worker(d, i, barrier, results):
+    t = _FakeTable(d)
+    tail = t.current()
+    pid = tail["snapshot_id"] if tail else None
+    barrier.wait()  # both writers hold the SAME parent before either commits
+    try:
+        t._append_log_cas(
+            pid, lambda tl: {"snapshot_id": f"s{i}", "parent_id": pid})
+        results.put((i, "committed"))
+    except Exception as e:  # CommitConflictError (class id differs on spawn)
+        results.put((i, type(e).__name__))
+
+
+def test_snapshot_cas_across_os_processes(tmp_path):
+    """The flock CAS must hold across REAL OS processes, not just within
+    one interpreter: two processes read the same parent, rendezvous on a
+    barrier, then race the commit — exactly one wins, the loser gets
+    CommitConflictError, and the log holds one record."""
+    import json
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")  # never fork the JVM-holding test process
+    q = ctx.Queue()
+    b = ctx.Barrier(2)
+    ps = [ctx.Process(target=_cas_race_worker,
+                      args=(str(tmp_path), i, b, q)) for i in range(2)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join(120)
+    outcomes = sorted(q.get(timeout=10)[1] for _ in range(2))
+    assert outcomes == ["CommitConflictError", "committed"], outcomes
+    lines = [json.loads(line)
+             for line in open(os.path.join(str(tmp_path), "snapshots.jsonl"))]
+    assert len(lines) == 1 and lines[0]["parent_id"] is None
