@@ -496,3 +496,71 @@ def test_cmd_dqa_append_matches_batch_dqa(spark, tmp_path):
 
     inc, batch = rows_of(rep_dir), rows_of(batch_dir)
     assert inc == batch and len(inc) > 5
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    """The launch contract is `spark-submit --py-files engine.zip main.py`
+    (reference runs `python main.py -c config.ini`, main.py:20-27; ours is
+    the cluster-shaped equivalent). This test exercises the REAL binary:
+    build engine.zip with --make-pyfiles, copy main.py alone into an empty
+    directory — so the package is importable ONLY from the zip — and
+    spark-submit a pizza assessment from there. A module missing from the
+    packaging step fails here instead of on a 1000-executor cluster, and
+    the report CSV must be byte-identical to the in-process run."""
+    import argparse
+    import os
+    import shutil
+    import subprocess
+
+    import main as mainmod
+    from main import cmd_dqa, make_pyfiles
+
+    zip_path = str(tmp_path / "engine.zip")
+    make_pyfiles(zip_path)
+
+    # isolated launch dir: main.py + nothing else
+    launch = tmp_path / "launch"
+    launch.mkdir()
+    shutil.copy(mainmod.__file__, launch / "main.py")
+
+    pizza = "/root/reference/datasets/pizza"
+    argv_tail = [
+        "dqa", "--master", "2", "--shuffle-partitions", "4",
+        "--triples", f"{pizza}/data.ttl",
+        "--vocab", f"{pizza}/pizza.xml",
+        "--metadata", f"{pizza}/void.ttl",
+        "--dataset-name", "pizza",
+        "--base-uri", "http://example.org/pizza#",
+    ]
+    spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit must be on PATH"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out_sub = tmp_path / "out_submit"
+    proc = subprocess.run(
+        [spark_submit, "--py-files", zip_path, str(launch / "main.py"),
+         *argv_tail, "--output", str(out_sub)],
+        cwd=str(launch), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+
+    # in-process reference run on the shared session
+    out_ref = tmp_path / "out_ref"
+    # vocab name must match the CLI path's filename-stem inference
+    # ("pizza"), because it lands in the CSV's vocab rows — this test
+    # checks submit==in-process identity; reference parity is
+    # tools/pizza_parity.py's job.
+    cmd_dqa(argparse.Namespace(
+        cmd="dqa", config=None, triples=f"{pizza}/data.ttl",
+        triples_format="ttl", vocab=[f"{pizza}/pizza.xml"],
+        vocab_names=["pizza"], vocab_formats=["xml"],
+        metadata=f"{pizza}/void.ttl", metadata_format="ttl",
+        metadata_class=None, output=str(out_ref), dataset_name="pizza",
+        base_uri="http://example.org/pizza#", type_property=None,
+        labeling_property=None, description_property=None,
+        interlinking_property=None, uris_max_length=None,
+        master=None, shuffle_partitions=None,
+    ))
+    sub_csv = (out_sub / "dq_assessment_pizza.csv").read_bytes()
+    ref_csv = (out_ref / "dq_assessment_pizza.csv").read_bytes()
+    assert sub_csv == ref_csv and len(sub_csv) > 1000
