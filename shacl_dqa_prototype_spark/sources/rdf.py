@@ -5,13 +5,21 @@ Three formats, matching the reference's ingest surface
 
 * N-Triples  — the scale path: line-oriented, so `spark.read.text` +
   a vectorized regex parser in mapInPandas shreds terabytes in parallel.
-* Turtle     — TWO paths over one grammar subset (@prefix, `a`, `;` `,`
-  continuations, IRIs, prefixed names, blank nodes, literals with
-  @lang / ^^datatype, bare integers/decimals/booleans):
+* Turtle     — TWO paths over one grammar subset (@prefix/@base, `a`,
+  `;` `,` continuations, IRIs, prefixed names incl. the empty prefix,
+  labelled + anonymous blank nodes `[ … ]`, collections `( … )`, short
+  and long (triple-quoted) literals in both quote styles with
+  @lang / ^^datatype, bare integers/decimals/doubles/booleans):
   `read_turtle` parses driver-side (fixtures, VoID metadata);
   `read_turtle_distributed` chunks a multi-GB dump into statement-aligned
   byte ranges and parses every chunk in parallel (r5 — closes the one
   reference ingest surface we bounced: a drugbank-size `.ttl` data graph).
+  The tokenizer enforces FULL input coverage: any byte outside the subset
+  raises ValueError, so unsupported syntax is loud, never silently
+  dropped. The one distributed-path restriction is multi-line (long)
+  literals — raw newlines inside a token break statement-aligned
+  chunking, so those files are refused with a pointer at `read_turtle`,
+  which does support them.
 * RDF/XML    — driver-side reader for OWL vocabularies (A2). Handles typed
   node elements, rdf:about/resource/ID/nodeID, nested property elements,
   rdf:parseType="Collection" (OWL class expressions), xml:lang,
@@ -26,7 +34,9 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
+import zlib
 from collections.abc import Iterator
+from urllib.parse import urljoin
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -155,39 +165,126 @@ def read_ntriples(
 _TTL_TOKEN = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
-  | (?P<prefix_decl>@prefix)
+  | (?P<prefix_decl>@prefix\b)
+  | (?P<base_decl>@base\b)
   | (?P<iri><[^>]*>)
-  | (?P<literal>"(?:[^"\\]|\\.)*"
+  | (?P<literal>
+        # long (triple-quoted) forms FIRST so they win over '""' + junk;
+        # short forms exclude raw newlines (Turtle STRING_LITERAL_QUOTE)
+        (?: \"\"\" (?:[^"\\]|\\.|"{1,2}(?!"))* \"\"\"
+          | ''' (?:[^'\\]|\\.|'{1,2}(?!'))* '''
+          | " (?:[^"\\\n]|\\.)* "
+          | ' (?:[^'\\\n]|\\.)* '
+        )
         (?:@[A-Za-z0-9\-]+
           # datatype mirrors the iri/pname grammars — a bare \S+ would
           # swallow a statement-terminating '.' ("5"^^xsd:int.)
-          |\^\^(?:<[^>]*>|[A-Za-z_][\w\-.]*:(?:[\w\-%.]*[\w\-%])?))?)
+          |\^\^(?:<[^>]*>|(?:[A-Za-z_][\w\-.]*)?:(?:[\w\-%.]*[\w\-%])?))?)
   | (?P<bnode>_:[A-Za-z0-9_\-]+)
-  | (?P<punct>[;,.\[\]])
+    # num before punct so '.5' parses as a decimal, never punct '.';
+    # trailing digits are REQUIRED after '.' so 'ex:p 5.' keeps its
+    # statement terminator (Turtle DECIMAL is [0-9]* '.' [0-9]+)
+  | (?P<num>[+-]?(?:[0-9]+\.[0-9]+(?:[eE][+-]?[0-9]+)?
+                   |\.[0-9]+(?:[eE][+-]?[0-9]+)?
+                   |[0-9]+(?:[eE][+-]?[0-9]+)?))
+  | (?P<punct>[;,.\[\]()])
+    # pname before kw_a/bool so 'a:x' / 'true:x' tokenize as ONE prefixed
+    # name ('\ba\b' sees a boundary at the ':' and would split them)
+  | (?P<pname>(?:[A-Za-z_][\w\-.]*)?:(?:[\w\-%.]*[\w\-%])?)
   | (?P<kw_a>\ba\b)
-  | (?P<num>[+-]?[0-9]+(?:\.[0-9]+)?)
   | (?P<bool>\btrue\b|\bfalse\b)
-  | (?P<pname>[A-Za-z_][\w\-.]*:(?:[\w\-%.]*[\w\-%])?)
     """,
     re.VERBOSE,
 )
 
+_TTL_LIT = re.compile(
+    r'^(?:"""((?:[^"\\]|\\.|"{1,2}(?!"))*)"""'
+    r"|'''((?:[^'\\]|\\.|'{1,2}(?!'))*)'''"
+    r'|"((?:[^"\\\n]|\\.)*)"'
+    r"|'((?:[^'\\\n]|\\.)*)')"
+    r'(?:@([A-Za-z0-9\-]+)|\^\^(\S+))?$',
+    re.DOTALL,
+)
 
-def parse_turtle(text: str) -> list[tuple]:
-    """Minimal Turtle → triple rows (s, p, o, o_kind, o_dtype, o_lang)."""
+_ABS_IRI = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _ttl_tokens(text: str) -> list[tuple[str, str]]:
+    """Tokenize with FULL-COVERAGE enforcement: every non-whitespace byte
+    must belong to some token, else ValueError. Without this, a plain
+    `finditer` loop silently drops whatever it cannot match — e.g. a
+    multi-line literal used to shred into an empty '""' literal plus
+    dropped words, corrupting the graph with no error."""
+    tokens: list[tuple[str, str]] = []
+    last = 0
+    for m in _TTL_TOKEN.finditer(text):
+        gap = text[last:m.start()]
+        if gap and not gap.isspace():
+            raise ValueError(
+                f"unparseable Turtle at byte {last}: {gap.strip()[:60]!r}")
+        if m.lastgroup != "comment":
+            tokens.append((m.lastgroup, m.group(0)))
+        last = m.end()
+    tail = text[last:]
+    if tail and not tail.isspace():
+        raise ValueError(
+            f"unparseable Turtle at byte {last}: {tail.strip()[:60]!r}")
+    return tokens
+
+
+def parse_turtle(text: str, bnode_seed: str = "") -> list[tuple]:
+    """Minimal Turtle → triple rows (s, p, o, o_kind, o_dtype, o_lang).
+
+    Grammar subset (the reference parses `.ttl` via rdflib,
+    /root/reference/utils.py:66-67): @prefix/@base, IRIs (relative ones
+    resolved against @base), prefixed names incl. the empty prefix,
+    labelled blank nodes, anonymous bnode property lists ``[ … ]`` in
+    subject and object position, collections ``( … )`` as rdf:first/rest
+    chains, predicate-object / object lists, ``a``, numeric/boolean
+    shorthand (integer/decimal/double), and short + long (triple-quoted)
+    string literals in both quote styles with @lang / ^^datatype.
+    Anything OUTSIDE the subset raises ValueError — the tokenizer
+    verifies full input coverage, so unsupported syntax can never be
+    silently dropped. This subset parses every real ``.ttl`` the
+    reference ships (pizza data/void + its committed shapes graphs).
+
+    ``bnode_seed`` namespaces generated anon-bnode labels
+    (``_:g<seed>.<n>`` — '.' cannot occur in an explicit ``_:label``
+    token, so generated labels never collide with parsed ones); the
+    distributed reader passes a chunk-unique seed so chunks never
+    collide with each other."""
     prefixes: dict[str, str] = {}
     rows: list[tuple] = []
-    tokens: list[tuple[str, str]] = [
-        (m.lastgroup, m.group(0))
-        for m in _TTL_TOKEN.finditer(text)
-        if m.lastgroup != "comment"
-    ]
-    i = 0
+    tokens = _ttl_tokens(text)
+    pos = 0
+    n_anon = 0
+    base = ""
+
+    def peek() -> str | None:
+        return tokens[pos][1] if pos < len(tokens) else None
+
+    def take() -> tuple[str, str]:
+        nonlocal pos
+        if pos >= len(tokens):
+            raise ValueError("unexpected end of Turtle input")
+        tk = tokens[pos]
+        pos += 1
+        return tk
+
+    def fresh_bnode() -> str:
+        nonlocal n_anon
+        n_anon += 1
+        return f"_:g{bnode_seed}.{n_anon}"
+
+    def resolve(iri: str) -> str:
+        if base and not _ABS_IRI.match(iri):
+            return urljoin(base, iri)
+        return iri
 
     def expand(kind: str, tok: str):
         """→ (lexical, o_kind, dtype, lang)"""
         if kind == "iri":
-            return tok[1:-1], "iri", None, None
+            return resolve(tok[1:-1]), "iri", None, None
         if kind == "bnode":
             return tok, "bnode", None, None
         if kind == "kw_a":
@@ -198,56 +295,115 @@ def parse_turtle(text: str) -> list[tuple]:
                 raise ValueError(f"unknown prefix {pfx!r}")
             return prefixes[pfx] + local, "iri", None, None
         if kind == "num":
-            dt = f"{XSD_NS}decimal" if "." in tok else f"{XSD_NS}integer"
+            if "e" in tok or "E" in tok:
+                dt = f"{XSD_NS}double"
+            elif "." in tok:
+                dt = f"{XSD_NS}decimal"
+            else:
+                dt = f"{XSD_NS}integer"
             return tok, "literal", dt, None
         if kind == "bool":
             return tok, "literal", f"{XSD_NS}boolean", None
         if kind == "literal":
-            m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9\-]+)|\^\^(\S+))?$', tok)
-            lex = _unescape(m.group(1))
-            lang, dt_tok = m.group(2), m.group(3)
+            m = _TTL_LIT.match(tok)
+            lex = _unescape(next(g for g in m.groups()[:4] if g is not None))
+            lang, dt_tok = m.group(5), m.group(6)
             dt = None
             if dt_tok:
-                dt = (dt_tok[1:-1] if dt_tok.startswith("<")
+                dt = (resolve(dt_tok[1:-1]) if dt_tok.startswith("<")
                       else expand("pname", dt_tok)[0])
             if lang:
                 dt = f"{RDF_NS}langString"
             return lex, "literal", dt, lang
         raise ValueError(f"unexpected token {kind}:{tok}")
 
-    while i < len(tokens):
-        kind, tok = tokens[i]
-        if kind == "prefix_decl":
-            pfx = tokens[i + 1][1].rstrip(":").split(":")[0]
-            prefixes[pfx] = tokens[i + 2][1][1:-1]
-            assert tokens[i + 3][1] == "."
-            i += 4
-            continue
-        subj, _, _, _ = expand(kind, tok)
-        i += 1
-        while True:  # predicate-object lists
-            pred, _, _, _ = expand(*tokens[i])
-            i += 1
+    def parse_object():
+        kind, tok = tokens[pos] if pos < len(tokens) else (None, None)
+        if tok == "[":
+            return parse_bnode_props()
+        if tok == "(":
+            return parse_collection()
+        take()
+        return expand(kind, tok)
+
+    def parse_bnode_props():
+        take()  # '['
+        node = fresh_bnode()
+        if peek() != "]":
+            parse_po_list(node, closer="]")
+        if take()[1] != "]":
+            raise ValueError("expected ']' closing bnode property list")
+        return node, "bnode", None, None
+
+    def parse_collection():
+        take()  # '('
+        items = []
+        while peek() != ")":
+            if peek() is None:
+                raise ValueError("unterminated collection")
+            items.append(parse_object())
+        take()  # ')'
+        if not items:
+            return f"{RDF_NS}nil", "iri", None, None
+        head = cur = fresh_bnode()
+        for j, it in enumerate(items):
+            rows.append((cur, f"{RDF_NS}first", *it))
+            if j + 1 < len(items):
+                nxt = fresh_bnode()
+                rows.append((cur, f"{RDF_NS}rest", nxt, "bnode", None, None))
+                cur = nxt
+            else:
+                rows.append((cur, f"{RDF_NS}rest", f"{RDF_NS}nil",
+                             "iri", None, None))
+        return head, "bnode", None, None
+
+    def parse_po_list(subj: str, closer: str) -> None:
+        while True:
+            pred = expand(*take())[0]
             while True:  # object lists
-                o, ok, dt, lang = expand(*tokens[i])
+                o, ok, dt, lang = parse_object()
                 rows.append((subj, pred, o, ok, dt, lang))
-                i += 1
-                if tokens[i][1] == ",":
-                    i += 1
+                if peek() == ",":
+                    take()
                     continue
                 break
-            if tokens[i][1] == ";":
-                i += 1
-                # "; ." tolerated
-                if tokens[i][1] == ".":
-                    i += 1
-                    break
+            if peek() == ";":
+                take()
+                while peek() == ";":
+                    take()
+                if peek() == closer:  # "; ." and "; ]" tolerated
+                    return
                 continue
-            if tokens[i][1] == ".":
-                i += 1
-                break
-            raise ValueError(f"expected ;,. got {tokens[i]}")
-        continue
+            return
+
+    while pos < len(tokens):
+        kind, tok = tokens[pos]
+        if kind == "prefix_decl":
+            take()
+            pfx = take()[1].rstrip(":").split(":")[0]
+            prefixes[pfx] = resolve(take()[1][1:-1])
+            if take()[1] != ".":
+                raise ValueError("expected '.' after @prefix")
+            continue
+        if kind == "base_decl":
+            take()
+            base = resolve(take()[1][1:-1])
+            if take()[1] != ".":
+                raise ValueError("expected '.' after @base")
+            continue
+        if tok == "[":
+            subj = parse_bnode_props()[0]
+            if peek() != ".":  # bare "[ … ] ." emits only the inner rows
+                parse_po_list(subj, closer=".")
+        elif tok == "(":
+            subj = parse_collection()[0]
+            parse_po_list(subj, closer=".")
+        else:
+            take()
+            subj = expand(kind, tok)[0]
+            parse_po_list(subj, closer=".")
+        if take()[1] != ".":
+            raise ValueError("expected '.' ending statement")
     return rows
 
 
@@ -301,9 +457,16 @@ def _ttl_line_ends_statement(line: str) -> bool:
                 return False  # unterminated IRI: malformed, never split here
             i, ends = j + 1, False
             continue
-        if c == '"':
+        if c in "\"'":
+            # both quote styles: a '.' inside 'sentence. # x' must not
+            # count as a terminator, and the '#' inside the literal must
+            # not read as a comment (one-line long strings degrade to
+            # adjacent short-literal scans, which still never leave a
+            # terminator-looking '.' unguarded — the closing quotes
+            # following any interior '.' reset `ends`)
+            q = c
             i += 1
-            while i < n and line[i] != '"':
+            while i < n and line[i] != q:
                 i += 2 if line[i] == "\\" else 1
             if i >= n:
                 return False  # unterminated literal (or a long string)
@@ -452,15 +615,31 @@ def read_turtle_distributed(
     def parse_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                text = _read_chunk_statements(r.file, r.start, r.end)
-                if '"""' in text or "'''" in text:
+                # Detection of the unsupported construct must be on the
+                # RAW byte range, not the aligned statement text: a chunk
+                # wholly interior to a multi-MB long string contains no
+                # delimiter at all (its garbage would only *probably*
+                # fail the tokenizer's coverage check). Raw ranges
+                # partition the file and every delimiter starts in
+                # exactly one range, so scanning [start, end+2) in each
+                # task (+2 catches a delimiter straddling the edge)
+                # guarantees at least one task raises before any output
+                # is consumed.
+                with open(r.file, "rb") as fh:
+                    fh.seek(r.start)
+                    raw = fh.read(r.end - r.start + 2)
+                if b'"""' in raw or b"'''" in raw:
                     raise ValueError(
-                        "triple-quoted (multi-line) Turtle literals are not "
-                        "supported by the distributed reader; use "
-                        "read_turtle or convert to N-Triples")
+                        "triple-quoted (multi-line) Turtle literals break "
+                        "statement-aligned chunking and are not supported "
+                        "by the distributed reader; use read_turtle "
+                        "(driver-side, supports them) or convert to "
+                        "N-Triples")
+                text = _read_chunk_statements(r.file, r.start, r.end)
                 if not text.strip():
                     continue
-                rows = parse_turtle(r.header + "\n" + text)
+                seed = f"{zlib.crc32(r.file.encode()):08x}o{r.start}"
+                rows = parse_turtle(r.header + "\n" + text, bnode_seed=seed)
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

@@ -123,3 +123,73 @@ def test_vocabulary_shapes_ttl_matches_golden():
     golden = (PIZZA / "shapes" / "vocabulary_shapes_pizza_owl.ttl").read_text()
     a, b = _shape_multiset(golden), _shape_multiset(ours)
     assert a == b, _diff(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: triple-level (tree-canonical) parity — strictly stronger than the
+# token-multiset check above. parse_turtle now covers the full shapes
+# grammar ([ … ] property lists, long strings), so both graphs parse into
+# triples; bnode subtrees fold into nested tuples, string literals
+# (messages/patterns, which legitimately differ in wording) strip to a
+# marker while numeric/boolean parameters (sh:maxCount 1 …) are kept, and
+# _N shape indices normalize. Children dedupe per node: the reference
+# instantiates one structurally identical sh:property block PER CLASS on
+# NotNamedIndividualShape (only the message text differs), while we emit
+# it once — the same constraint set, as the byte-exact CSV parity proves.
+# ---------------------------------------------------------------------------
+
+def _tree_canon(ttl: str) -> Counter:
+    from collections import defaultdict
+
+    from shacl_dqa_prototype_spark.sources.rdf import XSD_NS
+
+    strip_dt = {None, f"{XSD_NS}string"}
+    po = defaultdict(list)
+    for s, p, o, k, dt, lang in parse_turtle(ttl):
+        po[s].append((p, o, k, dt, lang))
+
+    def norm_o(o, k, dt, lang):
+        if k == "literal":
+            if dt in strip_dt and lang is None:
+                return ("lit",)
+            return ("lit", o, dt, lang)
+        return re.sub(r"_\d+$", "", o) if k == "iri" else o
+
+    def fold(node, seen):
+        if node in seen:
+            return ("cycle",)
+        items = {
+            (p, fold(o, seen | {node}) if k == "bnode" else norm_o(o, k, dt, lang))
+            for p, o, k, dt, lang in po.get(node, [])
+        }
+        return tuple(sorted(items, key=repr))
+
+    out: Counter = Counter()
+    for s in po:
+        if not s.startswith("_:"):
+            out[(re.sub(r"_\d+$", "", s), fold(s, frozenset()))] += 1
+    return out
+
+
+def test_shapes_ttl_tree_canonical_parity():
+    terms, disjoint, cfg, used_props, used_classes, prof_v = _pizza_inputs()
+    ns = prof_v.namespace
+    pairs = [
+        ("data",
+         data_shapes_ttl(terms, disjoint, cfg, used_props, used_classes),
+         PIZZA / "shapes" / "data_shapes.ttl"),
+        ("metadata",
+         metadata_shapes_ttl(f"{VOID}Dataset"),
+         PIZZA / "shapes" / "metadata_shapes.ttl"),
+        ("vocabulary",
+         vocabulary_shapes_ttl(
+             cfg.labeling_property, cfg.type_property,
+             sorted(c for c in used_classes if c and c.startswith(ns)),
+             sorted(p for p in used_props if p.startswith(ns))),
+         PIZZA / "shapes" / "vocabulary_shapes_pizza_owl.ttl"),
+    ]
+    for name, ours, golden_path in pairs:
+        a = _tree_canon(golden_path.read_text())
+        b = _tree_canon(ours)  # also proves OUR emitted Turtle parses
+        assert a == b, f"{name}: {_diff(a, b)}"
+        assert sum(a.values()) > 0
