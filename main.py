@@ -39,9 +39,36 @@ def _spark(args):
     )
 
 
-def _read_rdf(spark, path: str, fmt: str | None = None):
+_TTL_DISTRIBUTED_MIN_BYTES = 8 << 20  # below this, driver parse is faster
+
+
+def _ttl_has_long_strings(path: str) -> bool:
+    """Block-scan for triple-quote delimiters (64 MB blocks with a 2-byte
+    carry so a delimiter straddling a block edge is seen). Strictly
+    cheaper than the driver parse it decides against — one streaming read,
+    no decode, no tokenize."""
+    carry = b""
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(64 << 20)
+            if not block:
+                return False
+            if b'"""' in carry + block[:2] or b'"""' in block \
+                    or b"'''" in carry + block[:2] or b"'''" in block:
+                return True
+            carry = block[-2:]
+
+
+def _read_rdf(spark, path: str, fmt: str | None = None,
+              need_rows: bool = False):
     """RDF reader; format from `fmt` (reference config `graph_file_format`:
-    ttl/nt/xml/n3) or sniffed from the extension."""
+    ttl/nt/xml/n3) or sniffed from the extension. Large `.ttl` data
+    graphs read distributed (statement-aligned byte-range chunks on every
+    core) unless the caller needs the driver-side row list (vocab/metadata
+    graphs — KB–MB) or the file uses multi-line long strings, which only
+    the driver parser supports."""
+    import os as _os
+
     from shacl_dqa_prototype_spark.sources import rdf
 
     fmt = fmt or ""
@@ -50,6 +77,10 @@ def _read_rdf(spark, path: str, fmt: str | None = None):
         return rdf.read_ntriples(spark, path).dropDuplicates(), None
     if fmt in ("ttl", "n3", "turtle") or (
             not fmt and path.endswith((".ttl", ".n3", ".turtle"))):
+        if (not need_rows
+                and _os.path.getsize(path) >= _TTL_DISTRIBUTED_MIN_BYTES
+                and not _ttl_has_long_strings(path)):
+            return rdf.read_turtle_distributed(spark, path).dropDuplicates(), None
         rows = rdf.parse_turtle(open(path, encoding="utf-8").read())
     elif fmt in ("xml", "rdfxml", "owl") or (
             not fmt and path.endswith((".xml", ".rdf", ".owl"))):
@@ -246,7 +277,8 @@ def cmd_dqa(args) -> None:
         vfmts = list(getattr(args, "vocab_formats", []) or [])
         vocab_rows = []
         for i, vp in enumerate(args.vocab):
-            _, rows = _read_rdf(spark, vp, vfmts[i] if i < len(vfmts) else None)
+            _, rows = _read_rdf(spark, vp, vfmts[i] if i < len(vfmts) else None,
+                                need_rows=True)
             name = (vnames[i] if i < len(vnames)
                     else os.path.splitext(os.path.basename(vp))[0])
             vocab_graphs.append((name, rows or []))
@@ -423,7 +455,7 @@ def cmd_dqa_append(args) -> None:
     if args.vocab:
         rows: list[tuple] = []
         for vp in args.vocab:
-            _, r = _read_rdf(spark, vp, None)
+            _, r = _read_rdf(spark, vp, None, need_rows=True)
             rows.extend(r or [])
         prof_v = mine_vocab(rows)
         terms, disjoint = profile_to_vocab_terms(prof_v)

@@ -564,3 +564,44 @@ def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
     sub_csv = (out_sub / "dq_assessment_pizza.csv").read_bytes()
     ref_csv = (out_ref / "dq_assessment_pizza.csv").read_bytes()
     assert sub_csv == ref_csv and len(sub_csv) > 1000
+
+
+def test_read_rdf_routes_large_ttl_distributed(spark, tmp_path, monkeypatch):
+    """Large `.ttl` data graphs go through read_turtle_distributed; files
+    with multi-line long strings (distributed-unsupported) and callers
+    that need the driver row list (vocab graphs) fall back to the driver
+    parser. Both paths must yield the same triples."""
+    import main as mainmod
+    from shacl_dqa_prototype_spark.sources.rdf import parse_turtle
+
+    EX = "http://example.org/"
+    stmts = [f"@prefix ex: <{EX}> ."] + [
+        f'ex:s{i} ex:p ex:o{i} ; ex:n "v{i}" .' for i in range(200)]
+    clean = tmp_path / "clean.ttl"
+    clean.write_text("\n".join(stmts) + "\n")
+    longstr = tmp_path / "long.ttl"
+    longstr.write_text(
+        "\n".join(stmts) + f'\nex:s0 ex:big """multi\nline""" .\n')
+
+    monkeypatch.setattr(mainmod, "_TTL_DISTRIBUTED_MIN_BYTES", 1)
+    calls = []
+    from shacl_dqa_prototype_spark.sources import rdf as rdfmod
+    orig = rdfmod.read_turtle_distributed
+
+    def spy(spark_, path, **kw):
+        calls.append(path)
+        return orig(spark_, path, **kw)
+
+    monkeypatch.setattr(rdfmod, "read_turtle_distributed", spy)
+
+    df, rows = mainmod._read_rdf(spark, str(clean))
+    assert calls == [str(clean)] and rows is None
+    assert sorted(tuple(r) for r in df.collect()) == sorted(
+        set(parse_turtle(clean.read_text())))
+
+    df2, rows2 = mainmod._read_rdf(spark, str(longstr))
+    assert calls == [str(clean)]  # long strings: driver fallback
+    assert rows2 is not None and len(rows2) == 401
+
+    _, rows3 = mainmod._read_rdf(spark, str(clean), need_rows=True)
+    assert calls == [str(clean)] and len(rows3) == 400
