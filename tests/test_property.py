@@ -374,3 +374,119 @@ def test_interval_join_matches_naive(spark, left, right, lo, width):
            for j, (rk, rt) in enumerate(right)
            if lk == rk and lt + lo <= rt <= lt + hi}
     assert got == exp, (left, right, lo, hi)
+
+
+def _q_escape(s: str, quote: str, raw_newlines: bool) -> str:
+    """Serialize a literal body for the given quote style: escape the
+    backslash and the active quote char always; newlines stay raw inside
+    long strings and escape inside short ones."""
+    out = []
+    for c in s:
+        if c == "\\":
+            out.append("\\\\")
+        elif c == quote:
+            out.append("\\" + quote)
+        elif c == "\n" and not raw_newlines:
+            out.append("\\n")
+        elif c == "\r":
+            out.append("\\r")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            _pname_local,
+            st.lists(
+                st.tuples(
+                    _pname_local,
+                    st.sampled_from(
+                        ["longlit_d", "longlit_s", "sqlit", "double",
+                         "bnlist", "coll", "iri"]),
+                    _lit_text,
+                ),
+                min_size=1, max_size=3,
+            ),
+        ),
+        min_size=1, max_size=4,
+    ),
+)
+def test_turtle_roundtrip_extended_grammar(data):
+    """Round-5 grammar constructs round-trip: long strings in both quote
+    styles with RAW newlines and embedded quotes, single-quoted short
+    literals, exponent doubles, anonymous bnode property lists, and
+    collections. Generated anon labels are seed-order-dependent, so each
+    [ … ] carries a unique ex:tag and each collection cell is identified
+    by its rdf:first value; rows compare after canonicalizing labels."""
+    from shacl_dqa_prototype_spark.sources.rdf import RDF_NS, parse_turtle
+
+    NS = "http://example.org/ns#"
+    expected, stmts = [], []
+    uniq = 0
+    for s_local, po in data:
+        s = NS + s_local
+        po_strs = []
+        for p_local, form, lit in po:
+            p = NS + p_local
+            uniq += 1
+            if form == "longlit_d":
+                body = lit + '\nextra "q" line'
+                po_strs.append(
+                    f'ex:{p_local} """{_q_escape(body, chr(34), True)}"""')
+                expected.append((s, p, body, "literal", None, None))
+            elif form == "longlit_s":
+                body = lit + "\nit's line two"
+                po_strs.append(
+                    f"ex:{p_local} '''{_q_escape(body, chr(39), True)}'''")
+                expected.append((s, p, body, "literal", None, None))
+            elif form == "sqlit":
+                po_strs.append(
+                    f"ex:{p_local} '{_q_escape(lit, chr(39), False)}'")
+                expected.append((s, p, lit, "literal", None, None))
+            elif form == "double":
+                po_strs.append(f"ex:{p_local} 2.5e{uniq % 7}")
+                expected.append((s, p, f"2.5e{uniq % 7}", "literal",
+                                 f"{_XSD_NS}double", None))
+            elif form == "bnlist":
+                tag = f"tag{uniq}"
+                po_strs.append(
+                    f'ex:{p_local} [ ex:tag "{tag}" ; '
+                    f'ex:val "{nt_escape(lit)}" ]')
+                node = f"BN:{tag}"
+                expected.append((node, f"{NS}tag", tag, "literal", None, None))
+                expected.append((node, f"{NS}val", lit, "literal", None, None))
+                expected.append((s, p, node, "bnode", None, None))
+            elif form == "coll":
+                a, b = f"ca{uniq}", f"cb{uniq}"
+                po_strs.append(f'ex:{p_local} ("{a}" "{b}")')
+                n1, n2 = f"CELL:{a}", f"CELL:{b}"
+                expected.append((n1, f"{RDF_NS}first", a, "literal", None, None))
+                expected.append((n1, f"{RDF_NS}rest", n2, "bnode", None, None))
+                expected.append((n2, f"{RDF_NS}first", b, "literal", None, None))
+                expected.append((n2, f"{RDF_NS}rest", f"{RDF_NS}nil",
+                                 "iri", None, None))
+                expected.append((s, p, n1, "bnode", None, None))
+            else:  # iri
+                po_strs.append(f"ex:{p_local} <{NS}o{uniq}>")
+                expected.append((s, p, f"{NS}o{uniq}", "iri", None, None))
+        stmts.append(f"ex:{s_local} " + " ;\n    ".join(po_strs) + " .")
+
+    ttl = f"@prefix ex: <{NS}> .\n" + "\n".join(stmts) + "\n"
+    got = parse_turtle(ttl)
+
+    # canonicalize generated labels: bnlist nodes by their ex:tag value,
+    # collection cells by their rdf:first value
+    label = {}
+    for r in got:
+        if r[0].startswith("_:g"):
+            if r[1] == f"{NS}tag":
+                label[r[0]] = f"BN:{r[2]}"
+            elif r[1] == f"{RDF_NS}first":
+                label[r[0]] = f"CELL:{r[2]}"
+    canon = sorted(
+        (label.get(r[0], r[0]), r[1], label.get(r[2], r[2]), *r[3:])
+        for r in got)
+    assert canon == sorted(expected)
