@@ -43,20 +43,21 @@ _TTL_DISTRIBUTED_MIN_BYTES = 8 << 20  # below this, driver parse is faster
 
 
 def _ttl_has_long_strings(path: str) -> bool:
-    """Block-scan for triple-quote delimiters (64 MB blocks with a 2-byte
-    carry so a delimiter straddling a block edge is seen). Strictly
-    cheaper than the driver parse it decides against — one streaming read,
-    no decode, no tokenize."""
-    carry = b""
+    """Streaming line scan for a top-level triple-quote delimiter —
+    strictly cheaper than the driver parse it decides against (one pass,
+    per-line byte check, the char-level scan only on lines containing a
+    candidate). Exact, not approximate: '\"\"\"' inside a one-line
+    literal or a comment does NOT force the slow driver path, and every
+    line up to the first real opener starts outside any token, so the
+    opener itself is always classified correctly."""
+    from shacl_dqa_prototype_spark.sources.rdf import _ttl_line_longstring_delim
+
     with open(path, "rb") as f:
-        while True:
-            block = f.read(64 << 20)
-            if not block:
-                return False
-            if b'"""' in carry + block[:2] or b'"""' in block \
-                    or b"'''" in carry + block[:2] or b"'''" in block:
+        for ln in f:
+            if (b'"""' in ln or b"'''" in ln) and _ttl_line_longstring_delim(
+                    ln.decode("utf-8", "replace")):
                 return True
-            carry = block[-2:]
+    return False
 
 
 def _read_rdf(spark, path: str, fmt: str | None = None,

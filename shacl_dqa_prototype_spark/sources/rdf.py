@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import re
 import xml.etree.ElementTree as ET
-import zlib
 from collections.abc import Iterator
 from urllib.parse import urljoin
 
@@ -202,7 +201,9 @@ _TTL_LIT = re.compile(
     r"|'''((?:[^'\\]|\\.|'{1,2}(?!'))*)'''"
     r'|"((?:[^"\\\n]|\\.)*)"'
     r"|'((?:[^'\\\n]|\\.)*)')"
-    r'(?:@([A-Za-z0-9\-]+)|\^\^(\S+))?$',
+    # datatype mirrors the tokenizer's: <…> may contain spaces, so a bare
+    # \S+ here would fail to re-match a token the tokenizer accepted
+    r'(?:@([A-Za-z0-9\-]+)|\^\^(<[^>]*>|\S+))?$',
     re.DOTALL,
 )
 
@@ -255,7 +256,7 @@ def parse_turtle(text: str, bnode_seed: str = "") -> list[tuple]:
     collide with each other."""
     prefixes: dict[str, str] = {}
     rows: list[tuple] = []
-    tokens = _ttl_tokens(text)
+    tokens = _ttl_tokens(text.lstrip("\ufeff"))  # tolerate a UTF-8 BOM
     pos = 0
     n_anon = 0
     base = ""
@@ -306,6 +307,8 @@ def parse_turtle(text: str, bnode_seed: str = "") -> list[tuple]:
             return tok, "literal", f"{XSD_NS}boolean", None
         if kind == "literal":
             m = _TTL_LIT.match(tok)
+            if m is None:
+                raise ValueError(f"malformed literal token {tok[:60]!r}")
             lex = _unescape(next(g for g in m.groups()[:4] if g is not None))
             lang, dt_tok = m.group(5), m.group(6)
             dt = None
@@ -359,7 +362,10 @@ def parse_turtle(text: str, bnode_seed: str = "") -> list[tuple]:
 
     def parse_po_list(subj: str, closer: str) -> None:
         while True:
-            pred = expand(*take())[0]
+            p_kind, p_tok = take()
+            pred, pk, _, _ = expand(p_kind, p_tok)
+            if pk != "iri":
+                raise ValueError(f"invalid predicate term {p_tok[:60]!r}")
             while True:  # object lists
                 o, ok, dt, lang = parse_object()
                 rows.append((subj, pred, o, ok, dt, lang))
@@ -380,14 +386,23 @@ def parse_turtle(text: str, bnode_seed: str = "") -> list[tuple]:
         kind, tok = tokens[pos]
         if kind == "prefix_decl":
             take()
-            pfx = take()[1].rstrip(":").split(":")[0]
-            prefixes[pfx] = resolve(take()[1][1:-1])
+            n_kind, n_tok = take()
+            i_kind, i_tok = take()
+            if (n_kind != "pname" or not n_tok.endswith(":")
+                    or ":" in n_tok[:-1] or i_kind != "iri"):
+                raise ValueError(
+                    f"malformed @prefix declaration near {n_tok[:60]!r}")
+            prefixes[n_tok[:-1]] = resolve(i_tok[1:-1])
             if take()[1] != ".":
                 raise ValueError("expected '.' after @prefix")
             continue
         if kind == "base_decl":
             take()
-            base = resolve(take()[1][1:-1])
+            i_kind, i_tok = take()
+            if i_kind != "iri":
+                raise ValueError(
+                    f"malformed @base declaration near {i_tok[:60]!r}")
+            base = resolve(i_tok[1:-1])
             if take()[1] != ".":
                 raise ValueError("expected '.' after @base")
             continue
@@ -400,7 +415,10 @@ def parse_turtle(text: str, bnode_seed: str = "") -> list[tuple]:
             parse_po_list(subj, closer=".")
         else:
             take()
-            subj = expand(kind, tok)[0]
+            s_lex, s_kind, _, _ = expand(kind, tok)
+            if s_kind not in ("iri", "bnode"):
+                raise ValueError(f"invalid subject term {tok[:60]!r}")
+            subj = s_lex
             parse_po_list(subj, closer=".")
         if take()[1] != ".":
             raise ValueError("expected '.' ending statement")
@@ -434,8 +452,97 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
 #     for machine-written dumps); a chunk using a prefix declared
 #     mid-file after its range raises ValueError("unknown prefix").
 
-_TTL_PREFIX_DECL = re.compile(r"@prefix\s+[\w\-.]*:\s*<[^>]*>\s*\.")
+# a declaration LINE: '@prefix name: <iri> .' or '@base <iri> .', anchored
+# to line start — in the no-long-string subset every line begins outside
+# any token, so a line-start match is a real declaration, never literal
+# content that happens to contain '@prefix …' text
+_TTL_DECL_LINE = re.compile(
+    r"^[ \t]*@(?:(prefix)[ \t]+((?:[A-Za-z_][\w\-.]*)?:)|(base))"
+    r"[ \t]*<([^>]*)>[ \t]*\.[ \t\r]*(?:#[^\n]*)?$",
+    re.MULTILINE,
+)
 _MAX_TTL_LINE = 4 << 20  # backward-scan cap; also a sane dump-line bound
+
+
+def _ttl_decl_key(m: re.Match) -> tuple:
+    """Normalize a _TTL_DECL_LINE match to a comparable (kind, name, iri)."""
+    if m.group(1):
+        return ("prefix", m.group(2), m.group(4))
+    return ("base", None, m.group(4))
+
+
+def _ttl_header_decls(head: str, truncated: bool = False) -> list[str]:
+    """The file's LEADING declaration block: @prefix/@base lines up to the
+    first significant non-declaration line (blank/comment lines are
+    transparent). Restricting to the leading block — rather than grepping
+    the whole head — means literal content that merely *contains*
+    '@prefix …' text can never be injected into the shared chunk header.
+    ``truncated`` drops the final (possibly cut-off) line of a scan
+    window; a declaration lost that way is caught loudly by the chunks'
+    containment check, never silently."""
+    lines = head.split("\n")
+    if truncated:
+        lines = lines[:-1]
+    decls: list[str] = []
+    for line in lines:
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        if _TTL_DECL_LINE.match(line):
+            decls.append(line)
+        else:
+            break
+    return decls
+
+
+def _ttl_line_longstring_delim(line: str) -> bool:
+    """Line-local: does a top-level triple-quote delimiter occur on this
+    line? Short literals (both quote styles) and comments are skipped, so
+    '\"\"\"' inside a one-line literal or a comment is NOT flagged. Exact
+    for lines that start outside any token — which is every line of a
+    file with no preceding long string, so the line carrying the FIRST
+    long-string opener is always classified correctly."""
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c == "#":
+            return False
+        if c in "\"'":
+            if line[i + 1:i + 3] == c * 2:
+                return True
+            q = c
+            i += 1
+            while i < n and line[i] != q:
+                i += 2 if line[i] == "\\" else 1
+            if i >= n:
+                return False  # unterminated short literal: parse will complain
+            i += 1
+            continue
+        i += 1
+    return False
+
+
+def _range_has_longstring(path: str, start: int, end: int) -> bool:
+    """Does any line STARTING in byte range [start, end) carry a top-level
+    triple-quote delimiter? Lines are read in full (past `end` for the
+    boundary line), and line starts partition the file across ranges, so
+    the first long-string opener's line — which always starts at top
+    level — is fully scanned by exactly one task. A per-line byte check
+    keeps the common no-delimiter case at memchr speed."""
+    with open(path, "rb") as f:
+        pos = start
+        if start > 0:
+            f.seek(start - 1)
+            pos += len(f.readline()) - 1
+            if pos >= end:
+                return False
+        data = f.read(end - pos) + f.readline()
+    if b'"""' not in data and b"'''" not in data:
+        return False
+    return any(
+        (b'"""' in ln or b"'''" in ln)
+        and _ttl_line_longstring_delim(ln.decode("utf-8", "replace"))
+        for ln in data.split(b"\n"))
 
 
 def _ttl_line_ends_statement(line: str) -> bool:
@@ -586,7 +693,7 @@ def read_turtle_distributed(
             if not n.startswith((".", "_")))
     else:
         files = [path]
-    plan: list[tuple[str, int, int, str]] = []
+    plan: list[tuple[int, str, int, int, str]] = []
     # saturate the cluster even for mid-size files: at least 2 chunks per
     # core (down to a 1 MB floor — the python tokenizer costs ~3 MB/s per
     # core, so sub-MB chunks would be all task overhead). Measured on a
@@ -600,13 +707,18 @@ def read_turtle_distributed(
         with open(fp, "rb") as f:
             head = f.read(min(size, header_scan_bytes)).decode(
                 "utf-8", "replace")
-        header = "\n".join(_TTL_PREFIX_DECL.findall(head))
+        header = "\n".join(
+            _ttl_header_decls(head, truncated=size > header_scan_bytes))
         n_chunks = max(-(-size // target_chunk_bytes),
                        min(2 * par, -(-size // (1 << 20))))
         step = -(-size // n_chunks)
         plan.extend(
-            (fp, lo, min(lo + step, size), header)
-            for lo in range(0, size, step))
+            # plan index = chunk's anon-bnode seed: deterministic and
+            # collision-free across chunks AND shard files (a crc/hash of
+            # the path would collide at the birthday bound over many
+            # shards, silently conflating unrelated [ … ] nodes)
+            (len(plan) + k, fp, lo, min(lo + step, size), header)
+            for k, lo in enumerate(range(0, size, step)))
     if not plan:
         return spark.createDataFrame([], TRIPLES_SCHEMA)
 
@@ -619,16 +731,13 @@ def read_turtle_distributed(
                 # RAW byte range, not the aligned statement text: a chunk
                 # wholly interior to a multi-MB long string contains no
                 # delimiter at all (its garbage would only *probably*
-                # fail the tokenizer's coverage check). Raw ranges
-                # partition the file and every delimiter starts in
-                # exactly one range, so scanning [start, end+2) in each
-                # task (+2 catches a delimiter straddling the edge)
-                # guarantees at least one task raises before any output
-                # is consumed.
-                with open(r.file, "rb") as fh:
-                    fh.seek(r.start)
-                    raw = fh.read(r.end - r.start + 2)
-                if b'"""' in raw or b"'''" in raw:
+                # fail the tokenizer's coverage check). Every line starts
+                # in exactly one range, the scan reads owned lines in
+                # full, and the first opener's line always starts at top
+                # level — so the opener's owning task ALWAYS raises, and
+                # '\"\"\"' inside a one-line literal or comment is never a
+                # false positive.
+                if _range_has_longstring(r.file, r.start, r.end):
                     raise ValueError(
                         "triple-quoted (multi-line) Turtle literals break "
                         "statement-aligned chunking and are not supported "
@@ -638,13 +747,27 @@ def read_turtle_distributed(
                 text = _read_chunk_statements(r.file, r.start, r.end)
                 if not text.strip():
                     continue
-                seed = f"{zlib.crc32(r.file.encode()):08x}o{r.start}"
-                rows = parse_turtle(r.header + "\n" + text, bnode_seed=seed)
+                # every declaration inside a chunk must already be in the
+                # shared header — a mid-file @prefix redeclaration (or a
+                # declaration past the header scan window) would bind in
+                # its owning chunk but not in later ones, silently
+                # diverging from the driver parser; refuse loudly instead
+                hdr_decls = {
+                    _ttl_decl_key(m) for m in _TTL_DECL_LINE.finditer(r.header)}
+                for m in _TTL_DECL_LINE.finditer(text):
+                    if _ttl_decl_key(m) not in hdr_decls:
+                        raise ValueError(
+                            f"@prefix/@base outside the file's leading "
+                            f"declaration block ({m.group(0).strip()!r}) is "
+                            "not supported by the distributed reader; use "
+                            "read_turtle or move declarations to the header")
+                rows = parse_turtle(r.header + "\n" + text,
+                                    bnode_seed=str(r.idx))
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
     chunks = spark.createDataFrame(
-        plan, "file string, start long, end long, header string"
+        plan, "idx long, file string, start long, end long, header string"
     ).repartition(len(plan))
     return chunks.mapInPandas(parse_chunks, schema=TRIPLES_SCHEMA)
 

@@ -423,3 +423,89 @@ def test_turtle_distributed_interior_longstring_chunk_raises(spark, tmp_path):
     p2.write_text(f'@prefix ex: <{EX}> .\nex:s ex:p """{junk}""" .\n')
     with pytest.raises(Exception, match="triple-quoted|unparseable Turtle"):
         read_turtle_distributed(spark, str(p2), target_chunk_bytes=1 << 10).collect()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 review fixes: @base in chunk headers, mid-file decl loudness,
+# exact (non-false-positive) long-string detection, positional validation
+# ---------------------------------------------------------------------------
+
+def test_turtle_distributed_base_and_relative_iris(spark, tmp_path):
+    """@base belongs to the shared chunk header: every chunk must resolve
+    relative IRIs, not just the chunk physically containing the @base
+    line (silent-corruption bug found in review)."""
+    from shacl_dqa_prototype_spark.sources.rdf import (
+        parse_turtle,
+        read_turtle_distributed,
+    )
+
+    text = "@base <http://ex.org/dir/> .\n@prefix ex: <http://ex.org/ns#> .\n" + \
+        "\n".join(f'<s{i}> <p> <o{i}> ; ex:n "v{i}" .' for i in range(500)) + "\n"
+    p = tmp_path / "rel.ttl"
+    p.write_text(text)
+    got = sorted(tuple(r) for r in read_turtle_distributed(
+        spark, str(p), target_chunk_bytes=1 << 10).collect())
+    assert got == sorted(parse_turtle(text))
+    assert all(r[0].startswith("http://ex.org/dir/s") for r in got)
+
+
+def test_turtle_distributed_midfile_decl_is_loud(spark, tmp_path):
+    """A @prefix redeclaration past the leading block would bind in its
+    owning chunk but not in later ones — silently diverging from the
+    driver parser. The containment check refuses it loudly."""
+    import pytest
+
+    from shacl_dqa_prototype_spark.sources.rdf import read_turtle_distributed
+
+    stmts = ["@prefix x: <http://a/> ."]
+    stmts += [f'x:s{i} x:p "v{i}" .' for i in range(200)]
+    stmts.append("@prefix x: <http://b/> .")  # legal Turtle, silent hazard
+    stmts += [f'x:t{i} x:p "w{i}" .' for i in range(200)]
+    p = tmp_path / "redecl.ttl"
+    p.write_text("\n".join(stmts) + "\n")
+    with pytest.raises(Exception, match="leading declaration block"):
+        read_turtle_distributed(spark, str(p), target_chunk_bytes=1 << 10).collect()
+
+
+def test_turtle_distributed_quoted_triplequotes_not_false_positive(spark, tmp_path):
+    """'\"\"\"' inside a ONE-LINE literal or a comment is valid chunkable
+    input — the exact line-local detector must not refuse it (the old raw
+    byte scan did)."""
+    from shacl_dqa_prototype_spark.sources.rdf import (
+        parse_turtle,
+        read_turtle_distributed,
+    )
+
+    lines = ["@prefix ex: <http://ex.org/> ."]
+    for i in range(300):
+        lines.append(f"# comment {i} with \"\"\" inside")
+        lines.append(f"ex:s{i} ex:note '\"\"\"' ; ex:alt \"has ''' inside\" .")
+    text = "\n".join(lines) + "\n"
+    p = tmp_path / "quoted.ttl"
+    p.write_text(text)
+    got = sorted(tuple(r) for r in read_turtle_distributed(
+        spark, str(p), target_chunk_bytes=1 << 10).collect())
+    assert got == sorted(parse_turtle(text)) and len(got) == 600
+
+
+def test_turtle_positional_and_literal_token_validation():
+    """Literals/numbers in subject or predicate position and a datatype
+    the literal re-match cannot handle raise ValueError — not silent
+    garbage triples, not AttributeError (review findings)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid predicate"):
+        parse_turtle('<http://e/s> "litpred" <http://e/o> .')
+    with pytest.raises(ValueError, match="invalid subject"):
+        parse_turtle('5 <http://e/p> <http://e/o> .')
+    with pytest.raises(ValueError, match="invalid predicate"):
+        parse_turtle('<http://e/s> 5 <http://e/o> .')
+    # datatype IRI containing a space: tokenizer accepts '<...>' freely,
+    # the literal re-match must not crash with AttributeError
+    rows = parse_turtle('<http://e/s> <http://e/p> "5"^^<http://e/a b> .')
+    assert rows[0][4] == "http://e/a b"
+    # malformed @prefix shapes
+    with pytest.raises(ValueError, match="malformed @prefix"):
+        parse_turtle("@prefix <http://e/> <http://e/> .")
+    # UTF-8 BOM tolerated
+    assert parse_turtle("﻿@prefix ex: <http://e/> . ex:s ex:p ex:o .")
