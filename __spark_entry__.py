@@ -141,6 +141,23 @@ def _register(spark: SparkSession, sf_dir: str) -> None:
 _TRIPLES_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
+def _triple_store_path(store_base: str, sf_dir: str) -> str:
+    """Content-keyed store subdir under ``store_base``: the key covers
+    the view text AND the input identity (absolute dataset path plus
+    per-file size/mtime), so editing TRIPLES_SQL, regenerating the corpus
+    in place, or pointing two datasets with the same basename at one
+    store base can never silently reuse stale or foreign triples — the
+    key changes and the view is rebuilt."""
+    import hashlib
+
+    parts = [TRIPLES_SQL, os.path.abspath(sf_dir)]
+    for t in sorted(os.listdir(sf_dir)):
+        fp = os.path.join(sf_dir, t)
+        parts.append(f"{t}:{os.path.getsize(fp)}:{int(os.path.getmtime(fp))}")
+    return os.path.join(
+        store_base, hashlib.sha1("|".join(parts).encode()).hexdigest()[:16])
+
+
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple view, cached per (session, sf_dir): many queries() entries
     share it, and the 20-branch UNION+DISTINCT is the dominant setup cost.
@@ -164,8 +181,7 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, sf_dir)
         store_base = os.environ.get("SPARK_GRAFT_TRIPLE_STORE")
         if store_base:
-            name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-            store = os.path.join(store_base, name)
+            store = _triple_store_path(store_base, sf_dir)
             if not os.path.exists(os.path.join(store, "_SUCCESS")):
                 (spark.sql(TRIPLES_SQL)
                  .repartition("p").sortWithinPartitions("p", "s")

@@ -121,12 +121,28 @@ def _header_dims(payload: bytes) -> tuple[int, int] | None:
                 int.from_bytes(p[8:10], "little"))
     if p[:2] == b"\xff\xd8":  # JPEG: walk marker segments to a SOF
         i = 2
-        while i + 9 < len(p) and p[i] == 0xFF:
+        while i + 1 < len(p):
+            if p[i] != 0xFF:
+                return None  # desynchronized — not a clean segment stream
+            while i + 1 < len(p) and p[i + 1] == 0xFF:
+                i += 1  # 0xFF fill bytes between segments are legal padding
             marker = p[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers (TEM/RSTn/SOI): no length field
+                continue
+            if marker in (0xD9, 0xDA):
+                return None  # EOI / start-of-scan reached with no SOF seen
+            if i + 3 >= len(p):
+                return None
+            seg_len = int.from_bytes(p[i + 2:i + 4], "big")
+            if seg_len < 2:
+                return None
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                return (int.from_bytes(p[i + 7:i + 9], "big"),
-                        int.from_bytes(p[i + 5:i + 7], "big"))
-            i += 2 + int.from_bytes(p[i + 2:i + 4], "big")
+                if i + 9 <= len(p) and seg_len >= 7:
+                    return (int.from_bytes(p[i + 7:i + 9], "big"),
+                            int.from_bytes(p[i + 5:i + 7], "big"))
+                return None
+            i += 2 + seg_len
     return None
 
 

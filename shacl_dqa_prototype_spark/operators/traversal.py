@@ -153,6 +153,13 @@ def pagerank(
     e.unpersist()
     if iterations > 0:
         nd.unpersist()
+        if prev is not None:
+            # the loop releases the checkpoint from two rounds back each
+            # pass, so the SECOND-TO-LAST iteration's checkpoint is still
+            # pinned here (with iterations == 1, prev is the initial
+            # unpersisted projection of nd and this is a no-op); `out`
+            # roots only at the final checkpoint, so this is safe
+            prev.unpersist()
     return out
 
 

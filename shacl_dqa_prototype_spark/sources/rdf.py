@@ -448,9 +448,11 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
 #   * no triple-quoted (multi-line) literals — a raw newline never occurs
 #     inside a token, so every LINE starts at top level and statement
 #     terminators can be recognized line-locally;
-#   * all @prefix declarations must appear in the file header (the norm
-#     for machine-written dumps); a chunk using a prefix declared
-#     mid-file after its range raises ValueError("unknown prefix").
+#   * all @prefix/@base declarations must form the file's LEADING block
+#     (the norm for machine-written dumps); any declaration found past it
+#     raises ValueError — even one textually identical to a header decl,
+#     because re-applying a relative @base compounds it in the driver
+#     parser while the header replay applies it once.
 
 # a declaration LINE: '@prefix name: <iri> .' or '@base <iri> .', anchored
 # to line start — in the no-long-string subset every line begins outside
@@ -493,6 +495,28 @@ def _ttl_header_decls(head: str, truncated: bool = False) -> list[str]:
         else:
             break
     return decls
+
+
+def _ttl_strip_leading_decls(text: str) -> tuple[list[str], str]:
+    """Split a chunk's LEADING declaration block (blank/comment lines
+    transparent) from the statements that follow. The file-head chunk
+    calls this so the declarations the shared header already re-supplies
+    are not parsed twice — a RELATIVE ``@base`` applied twice resolves
+    against itself (``urljoin('dir/', 'dir/') == 'dir/dir/'``), silently
+    diverging from the driver parser. Returns (decl_lines, remainder)."""
+    lines = text.split("\n")
+    decls: list[str] = []
+    rest_from = len(lines)
+    for j, line in enumerate(lines):
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        if _TTL_DECL_LINE.match(line):
+            decls.append(line)
+            continue
+        rest_from = j
+        break
+    return decls, "\n".join(lines[rest_from:])
 
 
 def _ttl_line_longstring_delim(line: str) -> bool:
@@ -705,19 +729,26 @@ def read_turtle_distributed(
         if size == 0:
             continue
         with open(fp, "rb") as f:
+            # strip a UTF-8 BOM like parse_turtle does — otherwise the
+            # leading '@prefix' line fails the decl-line match and the
+            # header comes back empty (every chunk then errors)
             head = f.read(min(size, header_scan_bytes)).decode(
-                "utf-8", "replace")
+                "utf-8", "replace").lstrip("\ufeff")
         header = "\n".join(
             _ttl_header_decls(head, truncated=size > header_scan_bytes))
         n_chunks = max(-(-size // target_chunk_bytes),
                        min(2 * par, -(-size // (1 << 20))))
         step = -(-size // n_chunks)
+        # plan index = chunk's anon-bnode seed: deterministic and
+        # collision-free across chunks AND shard files (a crc/hash of
+        # the path would collide at the birthday bound over many
+        # shards, silently conflating unrelated [ … ] nodes). base_idx
+        # is captured BEFORE extend — len(plan) inside the generator
+        # would grow as extend consumes it, skipping and duplicating
+        # indices across files.
+        base_idx = len(plan)
         plan.extend(
-            # plan index = chunk's anon-bnode seed: deterministic and
-            # collision-free across chunks AND shard files (a crc/hash of
-            # the path would collide at the birthday bound over many
-            # shards, silently conflating unrelated [ … ] nodes)
-            (len(plan) + k, fp, lo, min(lo + step, size), header)
+            (base_idx + k, fp, lo, min(lo + step, size), header)
             for k, lo in enumerate(range(0, size, step)))
     if not plan:
         return spark.createDataFrame([], TRIPLES_SCHEMA)
@@ -747,20 +778,34 @@ def read_turtle_distributed(
                 text = _read_chunk_statements(r.file, r.start, r.end)
                 if not text.strip():
                     continue
-                # every declaration inside a chunk must already be in the
-                # shared header — a mid-file @prefix redeclaration (or a
-                # declaration past the header scan window) would bind in
-                # its owning chunk but not in later ones, silently
-                # diverging from the driver parser; refuse loudly instead
                 hdr_decls = {
                     _ttl_decl_key(m) for m in _TTL_DECL_LINE.finditer(r.header)}
-                for m in _TTL_DECL_LINE.finditer(text):
-                    if _ttl_decl_key(m) not in hdr_decls:
-                        raise ValueError(
-                            f"@prefix/@base outside the file's leading "
-                            f"declaration block ({m.group(0).strip()!r}) is "
-                            "not supported by the distributed reader; use "
-                            "read_turtle or move declarations to the header")
+                if r.start == 0:
+                    # the file-head chunk physically contains the leading
+                    # declaration block the header re-supplies: strip it
+                    # (parsing it twice double-applies a relative @base)
+                    # after verifying the header covers every line of it
+                    # (it may not if the block outgrew header_scan_bytes)
+                    text = text.lstrip("\ufeff")
+                    decls, text = _ttl_strip_leading_decls(text)
+                    for d in decls:
+                        key = _ttl_decl_key(_TTL_DECL_LINE.match(d))
+                        if key not in hdr_decls:
+                            raise ValueError(
+                                f"declaration {d.strip()!r} falls outside "
+                                "the header scan window; raise "
+                                "header_scan_bytes or use read_turtle")
+                # any other declaration is mid-file — it would bind in its
+                # owning chunk but not in later ones (and an identical-text
+                # relative @base redeclaration compounds in the driver
+                # parser), silently diverging; refuse loudly instead
+                m = _TTL_DECL_LINE.search(text)
+                if m is not None:
+                    raise ValueError(
+                        f"@prefix/@base outside the file's leading "
+                        f"declaration block ({m.group(0).strip()!r}) is "
+                        "not supported by the distributed reader; use "
+                        "read_turtle or move declarations to the header")
                 rows = parse_turtle(r.header + "\n" + text,
                                     bnode_seed=str(r.idx))
                 if rows:

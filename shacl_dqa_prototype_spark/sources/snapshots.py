@@ -102,11 +102,28 @@ class SnapshotTable:
         snaps = self.snapshots()
         return snaps[-1] if snaps else None
 
-    def _append_log(self, rec: dict) -> None:
-        with open(self.log_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+    def _locked_log(self):
+        """Exclusive flock on the LIVE log file. flock binds to the inode,
+        not the path, and expire_snapshots atomically replaces the log
+        (tmp + os.replace): a writer that blocked on the old inode would,
+        once granted, append to an unlinked file and silently lose its
+        commit. After acquiring, re-stat the path — if the inode moved
+        while we waited, reopen and retry on the replacement. The lock is
+        released on close and on process death, so a crashed writer never
+        wedges the table."""
+        import fcntl
+
+        while True:
+            f = open(self.log_path, "a")
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+            try:
+                live_ino = os.stat(self.log_path).st_ino
+            except FileNotFoundError:
+                f.close()
+                continue
+            if os.fstat(f.fileno()).st_ino == live_ino:
+                return f
+            f.close()
 
     def _append_log_cas(self, expected_parent_id: str | None,
                         build_rec, rebase=None) -> dict:
@@ -117,12 +134,8 @@ class SnapshotTable:
         commute) the record is rebuilt against the ACTUAL tail and
         committed; without it (state-derived commits) raise
         CommitConflictError, exactly what Iceberg's catalog swap would
-        reject. flock is released on close and on process death, so a
-        crashed writer never wedges the table."""
-        import fcntl
-
-        with open(self.log_path, "a") as f:
-            fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+        reject."""
+        with self._locked_log() as f:
             tail = self.current()
             tail_id = tail["snapshot_id"] if tail else None
             if tail_id == expected_parent_id:
@@ -461,10 +474,16 @@ class SnapshotTable:
         last: CommitConflictError | None = None
         for _ in range(max_retries + 1):
             snap = self.current()
-            if snap is not None and snap.get("bucket_col") not in (None, key_col):
+            # exact bucket-layout match up front, same as merge_delete: an
+            # unbucketed table (bucket_col=None) would otherwise read ALL
+            # buckets, run the anti-join, and write data before
+            # commit_merge_buckets finally rejected the layout
+            if (snap is not None and snap["dirs"]
+                    and snap.get("bucket_col") != key_col):
                 raise ValueError(
                     f"table is bucketed by {snap.get('bucket_col')!r}, "
-                    f"cannot merge on {key_col!r}")
+                    f"cannot merge on {key_col!r} (keyed upsert needs the "
+                    "table committed with bucket_col=key_col)")
             nb = (snap.get("n_buckets") or n_buckets) if snap else n_buckets
             bucket_of = F.pmod(F.xxhash64(key_col), F.lit(nb))
             changed = [r[0] for r in
@@ -575,31 +594,39 @@ class SnapshotTable:
         once older than ``orphan_grace_s`` seconds (Iceberg's
         orphan-file-cleanup age rule). Dirs referenced by EXPIRED
         snapshots are deleted immediately — the log rewrite below drops
-        those records in the same maintenance action. Single-writer
-        assumption: one process commits/vacuums a table at a time (see
-        module docstring); readers are unaffected either way."""
-        snaps = self.snapshots()
-        kept = snaps[-keep_last:] if keep_last > 0 else []
-        referenced_kept = {d for s in kept for d in s["dirs"]}
-        referenced_any = {d for s in snaps for d in s["dirs"]}
-        now = time.time()
-        deleted = []
-        for d in os.listdir(self.data_dir):
-            if d in referenced_kept:
-                continue
-            path = os.path.join(self.data_dir, d)
-            if d not in referenced_any:  # orphan: step-1 of a crashed or
-                try:                     # in-flight commit — age-gate it
-                    if now - os.path.getmtime(path) < orphan_grace_s:
-                        continue
-                except OSError:
+        those records in the same maintenance action. The whole
+        read-decide-rewrite runs under the same flock every commit
+        serializes on — otherwise a concurrent commit could append to the
+        pre-rewrite log between our read and the os.replace and be
+        silently dropped (its data dir later orphan-deleted). Readers are
+        unaffected either way."""
+        with self._locked_log():
+            snaps = self.snapshots()
+            kept = snaps[-keep_last:] if keep_last > 0 else []
+            referenced_kept = {d for s in kept for d in s["dirs"]}
+            referenced_any = {d for s in snaps for d in s["dirs"]}
+            now = time.time()
+            deleted = []
+            for d in os.listdir(self.data_dir):
+                if d in referenced_kept:
                     continue
-            shutil.rmtree(path, ignore_errors=True)
-            deleted.append(d)
-        # rewrite the log to the kept tail (tmp + atomic rename)
-        tmp = self.log_path + ".tmp"
-        with open(tmp, "w") as f:
-            for s in kept:
-                f.write(json.dumps(s) + "\n")
-        os.replace(tmp, self.log_path)
-        return deleted
+                path = os.path.join(self.data_dir, d)
+                if d not in referenced_any:  # orphan: step-1 of a crashed
+                    try:                     # or in-flight commit — age-gate
+                        if now - os.path.getmtime(path) < orphan_grace_s:
+                            continue
+                    except OSError:
+                        continue
+                shutil.rmtree(path, ignore_errors=True)
+                deleted.append(d)
+            # rewrite the log to the kept tail (tmp + atomic rename; a
+            # blocked writer re-checks the inode after acquiring the lock,
+            # so the replacement can never strand its append)
+            tmp = self.log_path + ".tmp"
+            with open(tmp, "w") as f:
+                for s in kept:
+                    f.write(json.dumps(s) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.log_path)
+            return deleted

@@ -909,6 +909,21 @@ def test_multimodal_real_decode_png(spark):
             + b"\xff\xc0\x00\x11\x08" + (21).to_bytes(2, "big")
             + (37).to_bytes(2, "big") + b"\x03" + b"\x00" * 9)
     assert multimodal._header_dims(jpeg) == (37, 21)
+    # JPEG edge cases (review finding: the old walk desynchronized on
+    # 0xFF fill bytes and marched past SOS into entropy-coded data)
+    padded = (b"\xff\xd8" + b"\xff\xff"          # legal fill padding
+              + b"\xff\xe0\x00\x04AB" + b"\xff"  # APP0 + more fill
+              + b"\xff\xc0\x00\x0b\x08" + (288).to_bytes(2, "big")
+              + (240).to_bytes(2, "big") + b"\x01\x00\x11\x00")
+    assert multimodal._header_dims(padded) == (240, 288)
+    sos_first = (b"\xff\xd8" + b"\xff\xda\x00\x04AB"  # SOS, then entropy
+                 + b"\xff\xc0\x00\x0b\x08\x01\x20\x00\xf0\x01\x00\x11\x00")
+    assert multimodal._header_dims(sos_first) is None  # never trust scan data
+    rst = (b"\xff\xd8" + b"\xff\xd0"  # standalone RST marker: no length
+           + b"\xff\xc0\x00\x0b\x08" + (64).to_bytes(2, "big")
+           + (48).to_bytes(2, "big") + b"\x01\x00\x11\x00")
+    assert multimodal._header_dims(rst) == (48, 64)
+    assert multimodal._header_dims(b"\xff\xd8garbage") is None
 
 
 def test_multimodal_stub_unchanged_when_payload_not_image(spark):

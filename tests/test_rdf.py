@@ -509,3 +509,96 @@ def test_turtle_positional_and_literal_token_validation():
         parse_turtle("@prefix <http://e/> <http://e/> .")
     # UTF-8 BOM tolerated
     assert parse_turtle("﻿@prefix ex: <http://e/> . ex:s ex:p ex:o .")
+
+
+def test_turtle_distributed_shard_seed_uniqueness(spark, tmp_path):
+    """Chunk anon-bnode seeds must be unique across ALL shard files.
+    len(plan) read lazily inside the extend() generator produced
+    colliding plan indices across files (f1 -> {0,2}, f2 -> {2,4}), so
+    chunks in different shards emitted identical _:gN.M labels and
+    unrelated [ ... ] property lists were silently conflated (review
+    finding)."""
+    from shacl_dqa_prototype_spark.sources.rdf import read_turtle_distributed
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    n_files, per = 4, 120
+    for fidx in range(n_files):
+        lines = ["@prefix ex: <http://ex.org/> ."]
+        lines += [f'ex:f{fidx}s{i} ex:has [ ex:tag "f{fidx}.{i}" ] .'
+                  for i in range(per)]
+        (d / f"part{fidx}.ttl").write_text("\n".join(lines) + "\n")
+    rows = [tuple(r) for r in read_turtle_distributed(
+        spark, str(d), target_chunk_bytes=1 << 10).collect()]
+    # every [ ] emits exactly 2 rows (parent link + tag) sharing one
+    # generated label; a seed collision fuses labels across shards
+    assert len(rows) == n_files * per * 2
+    by_label: dict[str, int] = {}
+    for r in rows:
+        lbl = r[2] if r[3] == "bnode" else r[0]
+        by_label[lbl] = by_label.get(lbl, 0) + 1
+    anon = {k: n for k, n in by_label.items() if k.startswith("_:g")}
+    assert len(anon) == n_files * per
+    assert all(n == 2 for n in anon.values())
+
+
+def test_turtle_distributed_relative_base_not_double_applied(spark, tmp_path):
+    """The chunk physically containing a RELATIVE @base must not apply it
+    twice (header replay + the in-text copy): urljoin('app/v1/',
+    'app/v1/') == 'app/v1/app/v1/' silently prefix-doubled every IRI in
+    that chunk (review finding). The leading declaration block is now
+    stripped from the file-head chunk's text."""
+    from shacl_dqa_prototype_spark.sources.rdf import (
+        parse_turtle,
+        read_turtle_distributed,
+    )
+
+    text = "@base <app/v1/> .\n" + "\n".join(
+        f"<s{i}> <p> <o{i}> ." for i in range(400)) + "\n"
+    p = tmp_path / "relbase.ttl"
+    p.write_text(text)
+    got = sorted(tuple(r) for r in read_turtle_distributed(
+        spark, str(p), target_chunk_bytes=1 << 10).collect())
+    assert got == sorted(parse_turtle(text))
+    assert all(r[0].startswith("app/v1/s") for r in got)
+    assert not any("app/v1/app/v1" in r[0] for r in got)
+
+
+def test_turtle_distributed_bom(spark, tmp_path):
+    """A UTF-8 BOM must not blank the shared header (every chunk would
+    then fail with 'unknown prefix') nor break the file-head chunk's
+    full-coverage tokenizer (review finding: parse_turtle tolerates the
+    BOM, the distributed path did not)."""
+    from shacl_dqa_prototype_spark.sources.rdf import (
+        parse_turtle,
+        read_turtle_distributed,
+    )
+
+    body = "@prefix ex: <http://ex.org/> .\n" + "\n".join(
+        f'ex:s{i} ex:p "v{i}" .' for i in range(300)) + "\n"
+    p = tmp_path / "bom.ttl"
+    p.write_bytes(b"\xef\xbb\xbf" + body.encode())
+    got = sorted(tuple(r) for r in read_turtle_distributed(
+        spark, str(p), target_chunk_bytes=1 << 10).collect())
+    assert got == sorted(parse_turtle(body)) and len(got) == 300
+
+
+def test_turtle_distributed_identical_redecl_is_loud(spark, tmp_path):
+    """A mid-file redeclaration TEXTUALLY IDENTICAL to a header decl used
+    to pass the containment check and parse twice in its owning chunk —
+    for a relative @base that compounds against itself, diverging from
+    the driver parser. Any declaration outside the leading block is now
+    refused outright."""
+    import pytest
+
+    from shacl_dqa_prototype_spark.sources.rdf import read_turtle_distributed
+
+    stmts = ["@base <app/v1/> ."]
+    stmts += [f"<s{i}> <p> <o{i}> ." for i in range(200)]
+    stmts.append("@base <app/v1/> .")  # identical text, compounds in driver
+    stmts += [f"<t{i}> <p> <o{i}> ." for i in range(200)]
+    p = tmp_path / "redecl2.ttl"
+    p.write_text("\n".join(stmts) + "\n")
+    with pytest.raises(Exception, match="leading declaration block"):
+        read_turtle_distributed(
+            spark, str(p), target_chunk_bytes=1 << 10).collect()

@@ -777,3 +777,132 @@ def test_snapshot_cas_across_os_processes(tmp_path):
     lines = [json.loads(line)
              for line in open(os.path.join(str(tmp_path), "snapshots.jsonl"))]
     assert len(lines) == 1 and lines[0]["parent_id"] is None
+
+
+def test_log_replace_race_with_blocked_commit(spark, tmp_path):
+    """flock binds to the inode, not the path: a writer blocked on the
+    pre-vacuum log inode would — once expire_snapshots os.replace'd the
+    file and released — append to the unlinked inode and silently lose
+    its commit (review finding). _locked_log re-checks the inode after
+    every blocked acquire and retries on the live file; this forces that
+    exact interleaving deterministically."""
+    import fcntl
+    import threading
+    import time as _time
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", IntegerType(), True)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    t.commit_append(spark.createDataFrame([("k1", 1)], schema),
+                    bucket_col="k", n_buckets=2)
+    snaps_before = t.snapshots()
+
+    holding = threading.Event()
+
+    def vacuum_like_replace():
+        # what a racing expire_snapshots does: hold the lock, rewrite the
+        # log via tmp + os.replace (new inode), release
+        f = open(t.log_path, "a")
+        fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+        holding.set()
+        _time.sleep(0.8)  # let the main thread block on THIS inode
+        tmp = t.log_path + ".tmp"
+        with open(t.log_path) as r, open(tmp, "w") as w:
+            w.write(r.read())
+        os.replace(tmp, t.log_path)
+        f.close()
+
+    th = threading.Thread(target=vacuum_like_replace)
+    th.start()
+    holding.wait()
+    # no Spark job in the timed window: drive the CAS append directly so
+    # it is blocking on the lock within microseconds of `holding`
+    rec = dict(snaps_before[-1])
+    rec["snapshot_id"], rec["parent_id"] = "deadbeefdeadbeef", \
+        snaps_before[-1]["snapshot_id"]
+    t._append_log_cas(snaps_before[-1]["snapshot_id"], lambda tail: rec,
+                      rebase=lambda tail: rec)
+    th.join()
+    # the commit must be in the LIVE log (the replacement), not lost on
+    # the unlinked pre-replace inode
+    assert any(s["snapshot_id"] == "deadbeefdeadbeef"
+               for s in t.snapshots())
+
+
+def test_expire_snapshots_waits_for_commit_lock(spark, tmp_path):
+    """expire_snapshots must serialize with commits on the same flock: if
+    it rewrote the log while a commit held the lock, the commit's record
+    would be dropped by the rewrite (review finding)."""
+    import fcntl
+    import threading
+    import time as _time
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", IntegerType(), True)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    for i in range(3):
+        t.commit_append(spark.createDataFrame([(f"k{i}", i)], schema),
+                        bucket_col="k", n_buckets=2)
+
+    holding = threading.Event()
+    appended = threading.Event()
+
+    def committer():
+        f = open(t.log_path, "a")
+        fcntl.flock(f.fileno(), fcntl.LOCK_EX)
+        holding.set()
+        _time.sleep(0.8)  # expire must be blocked on the flock meanwhile
+        f.write('{"snapshot_id": "feedfacefeedface", "parent_id": null, '
+                '"ts": 0, "operation": "append", "dirs": [], '
+                '"dir_layouts": {}, "bucket_col": null, "n_buckets": null}'
+                "\n")
+        f.flush()
+        appended.set()
+        f.close()
+
+    th = threading.Thread(target=committer)
+    th.start()
+    holding.wait()
+    deleted = t.expire_snapshots(keep_last=50)  # keep everything kept
+    th.join()
+    assert appended.is_set()
+    # the in-flight commit survived the rewrite — expire saw it (ran
+    # after the lock was released) and kept it under keep_last=50
+    assert any(s["snapshot_id"] == "feedfacefeedface"
+               for s in t.snapshots())
+    assert deleted == []
+
+
+def test_merge_upsert_unbucketed_rejected_up_front(spark, tmp_path):
+    """merge_upsert gets the same early exact-bucket-layout check as
+    merge_delete (review finding): an unbucketed table must be refused
+    BEFORE any read/anti-join/data-write job runs, not by
+    commit_merge_buckets after the work is done."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", IntegerType(), True)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    t.commit_overwrite(spark.createDataFrame([("k1", 1), ("k2", 2)], schema))
+    with pytest.raises(ValueError, match="bucket"):
+        t.merge_upsert(spark.createDataFrame([("k1", 9)], schema), "k")
