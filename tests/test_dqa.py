@@ -605,3 +605,36 @@ def test_read_rdf_routes_large_ttl_distributed(spark, tmp_path, monkeypatch):
 
     _, rows3 = mainmod._read_rdf(spark, str(clean), need_rows=True)
     assert calls == [str(clean)] and len(rows3) == 400
+
+
+def test_ttl_longstring_scan_blockwise_edges(tmp_path):
+    """The routing pre-scan runs block-wise (8 MB memchr + line-exact
+    check only on candidate blocks — the per-line loop measured ~10x
+    slower on multi-GB dumps). Exactness across the block machinery:
+    benign candidates stay False, and a real opener is found even when
+    its line straddles the 8 MB block boundary or ends the file without
+    a newline."""
+    from main import _ttl_has_long_strings
+
+    line = b'<http://e/s%d> <http://e/p> "some literal value" .\n'
+
+    p = tmp_path / "a.ttl"
+    p.write_bytes(b"".join(line % i for i in range(50)))
+    assert _ttl_has_long_strings(str(p)) is False
+
+    # triple quotes inside one-line literals / comments: benign
+    p.write_bytes(
+        b'<http://e/x> <http://e/p> "has \'\'\' inside" . # and """ here\n'
+        + line % 1)
+    assert _ttl_has_long_strings(str(p)) is False
+
+    # opener line straddling the 8 MB block boundary
+    with open(p, "wb") as f:
+        f.write(line % 0)
+        f.write(b"# " + b"x" * ((8 << 20) - f.tell() - 30) + b"\n")
+        f.write(b'<http://e/z> <http://e/p> """straddle\nit""" .\n')
+    assert _ttl_has_long_strings(str(p)) is True
+
+    # opener on a final line with no trailing newline
+    p.write_bytes(b'<http://e/w> <http://e/p> """no-eol')
+    assert _ttl_has_long_strings(str(p)) is True
