@@ -1725,8 +1725,9 @@ def ext_oracles() -> dict[str, str]:
     SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
            CAST(cum_before % 512 AS BIGINT) AS pack_offset,
-           CAST(floor((cum_before + n_tokens - 1) / 512.0)
-                - floor(cum_before / 512.0) + 1 AS BIGINT) AS n_packs
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE floor((cum_before + n_tokens - 1) / 512.0)
+                     - floor(cum_before / 512.0) + 1 END AS BIGINT) AS n_packs
     FROM c"""
 
     # u = first 4 hex chars of md5(lang||'|'||doc_id) as uniform in [0,1)

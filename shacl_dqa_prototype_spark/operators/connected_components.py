@@ -113,6 +113,7 @@ def connected_components(
             [(r["src"], r["dst"]) for r in cur.collect()])
         return spark.createDataFrame(rows, "node string, component string")
     prev_sig = None
+    converged = False
     for i in range(max_iter):
         sym = _symmetrize(cur)
         after = _small_star(_large_star(sym).unionByName(sym).distinct())
@@ -128,8 +129,17 @@ def connected_components(
         m = obs.get
         cur_sig = (m["n"], m["h1"], m["h2"])
         if cur_sig == prev_sig:
+            converged = True
             break
         prev_sig = cur_sig
+    if not converged:
+        # falling through would return an INTERMEDIATE edge set as if it
+        # were the final node→component mapping (multiple rows per node,
+        # non-minimal representatives) — canonicalize_triples would then
+        # fan out and rewrite subjects inconsistently with no warning
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "large-star/small-star rounds; raise max_iter")
     return cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
 
 

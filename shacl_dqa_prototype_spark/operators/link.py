@@ -97,6 +97,13 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         F.coalesce("n_cands", F.lit(1)).alias("n_cands"),
     )
 
+    # materialize candidates ONCE: the popularity aggregate below and the
+    # main scoring path otherwise each re-run the mention scan + broadcast
+    # dictionary join (their downstream partitionings differ — candidate
+    # vs doc_id — so no exchange reuse kicks in), a full second pass over
+    # the mention stream per linking job
+    cands = cands.localCheckpoint(eager=True)
+
     # E4 — skew-safe popularity feature (two small shuffles, broadcast back)
     popularity = salted_docs_per_entity(cands)
 

@@ -42,8 +42,14 @@ def pack_sequences(
             "doc_id", "shard", t.alias("n_tokens"),
             F.floor(F.col("cum_before") / seq_len).alias("pack_id"),
             (F.col("cum_before") % seq_len).alias("pack_offset"),
-            (F.floor((F.col("cum_before") + t - 1) / seq_len)
-             - F.floor(F.col("cum_before") / seq_len) + 1).alias("n_packs"),
+            # an empty doc spans 0 packs — without the guard the formula
+            # returns 0 only when cum_before lands exactly on a pack
+            # boundary and 1 otherwise, contradictory metadata for
+            # identical inputs
+            F.when(t == 0, F.lit(0).cast("long")).otherwise(
+                F.floor((F.col("cum_before") + t - 1) / seq_len)
+                - F.floor(F.col("cum_before") / seq_len) + 1
+            ).alias("n_packs"),
         )
     )
 
@@ -262,10 +268,22 @@ def mixture_plan(
         "target_weight", F.coalesce(wmap[F.col("grp")], F.lit(0.0)))
     # T = min over weighted groups of tokens_g / w_g; the aggregate is
     # #groups rows, so the cross-join broadcast is a scalar
+    n_weighted = sum(1 for w in weights.values() if w > 0)
     budget = per.filter(F.col("target_weight") > 0).agg(
-        F.min(F.col("n_tokens") / F.col("target_weight")).alias("_T"))
+        F.min(F.col("n_tokens") / F.col("target_weight")).alias("_T"),
+        F.count("*").alias("_ng"))
     return (
         per.crossJoin(F.broadcast(budget))
+        # a weighted group ABSENT from the corpus can never constrain T
+        # (the min runs only over groups present), so the plan would
+        # report a confidently wrong positive budget for an unservable
+        # mixture — fail loudly inside the plan instead (assert_true is
+        # NULL when it passes, so the filter keeps every row; no extra
+        # job, no extra exchange)
+        .where(F.assert_true(
+            F.col("_ng") == F.lit(n_weighted),
+            F.lit("mixture_plan: a weighted group has no corpus rows — "
+                  "the requested mixture is unservable")).isNull())
         .select(
             F.col("grp").alias(group_col),
             "n_docs",

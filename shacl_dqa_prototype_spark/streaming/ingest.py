@@ -149,7 +149,11 @@ def start_streaming_dedup(
             DOCUMENTS_SCHEMA.fields
             + [StructField(event_time_col, TimestampType(), True)])
     docs = stream_documents(spark, input_dir, schema=schema)
-    event_time = (F.col(event_time_col).cast("timestamp")
+    # a NULL event time would make the watermark's lateness predicate NULL
+    # and the row would be DISCARDED outright (not just left undeduped) —
+    # silent data loss; treat missing event time as arrival time instead
+    event_time = (F.coalesce(F.col(event_time_col).cast("timestamp"),
+                             F.current_timestamp())
                   if event_time_col else F.current_timestamp())
     keyed = docs.withColumns({
         "event_time": event_time,
@@ -323,8 +327,13 @@ def start_streaming_neardup(
     portable: bool = False,
     n_buckets: int = 32,
     schema=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     max_files_per_trigger: int = 16,
     available_now: bool = True,
+    maintain_every: int | None = 32,
+    compact_max_dirs: int = 64,
+    keep_snapshots: int = 8,
 ) -> StreamingQuery:
     """Online near-duplicate detection at ingest: every document batch is
     MinHash/LSH-bucketed, matched against the ACCUMULATED bucket index
@@ -333,6 +342,13 @@ def start_streaming_neardup(
     ever re-scanning the corpus. The union of per-epoch pair sets equals
     the batch ``minhash_lsh_candidates`` over the whole corpus exactly
     (same bands, same buckets), which is how the contract oracles it.
+    A document re-delivered by an at-least-once upstream matches its own
+    indexed copy; such self-pairs are filtered (the batch operator can
+    never emit them). With ``schema=None`` the stream reads flat
+    (``id_col`` string, ``text_col`` string) rows — pass ``schema`` for
+    any other layout. Maintenance (compact + expire every
+    ``maintain_every`` epochs) bounds both tables' log/dir growth exactly
+    as in start_streaming_dqa.
 
     ``index`` and ``pairs`` are SnapshotTables: (band, bucket, doc_id)
     bucketed BY THE LSH BUCKET id, and (doc_a, doc_b) appends. Per epoch,
@@ -357,38 +373,52 @@ def start_streaming_neardup(
         # checkpoint: b feeds up to three jobs (touched-buckets collect,
         # pair join, index append); unpersisted at the end of the epoch so
         # an unbounded stream doesn't accrete one pinned RDD per batch
-        b = lsh_bucket_rows(batch_df, n, num_hashes, bands,
-                            portable=portable).localCheckpoint()
-        if not pairs_done:
-            touched = [r[0] for r in b.select(
-                F.pmod(F.xxhash64("bucket"), F.lit(n_buckets)).alias("tb")
-            ).distinct().collect()]
-            store = index.read_buckets(touched).withColumnsRenamed(
-                {"doc_id": "_old"})
-            cross = (
-                b.join(store, ["band", "bucket"])
-                .select(F.least("doc_id", "_old").alias("doc_a"),
-                        F.greatest("doc_id", "_old").alias("doc_b"))
-            )
-            left = b.withColumnsRenamed({"doc_id": "doc_a"})
-            right = b.withColumnsRenamed({"doc_id": "doc_b"})
-            within = (
-                left.join(right, ["band", "bucket"])
-                .filter(F.col("doc_a") < F.col("doc_b"))
-                .select("doc_a", "doc_b")
-            )
-            pairs.commit_append(cross.unionByName(within).distinct(),
-                                extra={"delta_id": delta_id})
-        if not index_done:
-            index.commit_append(b, bucket_col="bucket", n_buckets=n_buckets,
-                                extra={"delta_id": delta_id})
-        b.unpersist()
+        b = lsh_bucket_rows(batch_df, n, num_hashes, bands, id_col,
+                            text_col, portable).localCheckpoint()
+        try:
+            if not pairs_done:
+                touched = [r[0] for r in b.select(
+                    F.pmod(F.xxhash64("bucket"), F.lit(n_buckets)).alias("tb")
+                ).distinct().collect()]
+                store = index.read_buckets(touched).withColumnsRenamed(
+                    {"doc_id": "_old"})
+                cross = (
+                    b.join(store, ["band", "bucket"])
+                    .select(F.least("doc_id", "_old").alias("doc_a"),
+                            F.greatest("doc_id", "_old").alias("doc_b"))
+                    # a redelivered doc matches its own indexed rows —
+                    # drop the (x, x) self-pairs the batch operator's
+                    # doc_a < doc_b filter can never produce
+                    .filter(F.col("doc_a") < F.col("doc_b"))
+                )
+                left = b.withColumnsRenamed({"doc_id": "doc_a"})
+                right = b.withColumnsRenamed({"doc_id": "doc_b"})
+                within = (
+                    left.join(right, ["band", "bucket"])
+                    .filter(F.col("doc_a") < F.col("doc_b"))
+                    .select("doc_a", "doc_b")
+                )
+                pairs.commit_append(cross.unionByName(within).distinct(),
+                                    extra={"delta_id": delta_id})
+            if not index_done:
+                index.commit_append(b, bucket_col="bucket",
+                                    n_buckets=n_buckets,
+                                    extra={"delta_id": delta_id})
+        finally:
+            # foreachBatch retries after a failure would otherwise pin one
+            # more checkpointed RDD per attempt on a long-running stream
+            b.unpersist()
+        if maintain_every and epoch_id % maintain_every == maintain_every - 1:
+            for t in (index, pairs):
+                t.compact(max_dirs=compact_max_dirs)
+                t.expire_snapshots(keep_last=keep_snapshots)
 
     src_schema = schema
     if src_schema is None:
-        from shacl_dqa_prototype_spark.schemas import DOCUMENTS_SCHEMA
+        from pyspark.sql.types import StringType, StructField, StructType
 
-        src_schema = DOCUMENTS_SCHEMA
+        src_schema = StructType([StructField(id_col, StringType(), False),
+                                 StructField(text_col, StringType(), True)])
     writer = (
         spark.readStream.schema(src_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1039,3 +1039,50 @@ def test_interval_join_boundaries_and_bins(spark):
     # error loudly, not return zero rows (r4 advice)
     with pytest.raises(ValueError, match="microsecond"):
         interval_join(left, right, 1.0, 1.0 + 2e-7)
+
+
+def test_pack_sequences_empty_doc_n_packs(spark):
+    """An empty (0-token) doc spans 0 packs wherever it lands — the raw
+    floor formula said 0 on exact pack boundaries and 1 elsewhere,
+    contradictory metadata for identical inputs (review finding)."""
+    from shacl_dqa_prototype_spark.operators.pipeline import pack_sequences
+
+    # one shard; seq_len 4; cum_before for e1 = 4 (boundary), e2 = 6
+    docs = spark.createDataFrame(
+        [("d0", 4), ("d1_e", 0), ("d2", 2), ("d3_e", 0), ("d4", 3)],
+        ["doc_id", "n_tok"])
+    got = {r["doc_id"]: r for r in pack_sequences(
+        docs, seq_len=4, token_col="n_tok", shard_col=F.lit(0)).collect()}
+    assert got["d1_e"]["n_packs"] == 0    # boundary-landing empty doc
+    assert got["d3_e"]["n_packs"] == 0    # mid-pack empty doc
+    assert got["d0"]["n_packs"] == 1 and got["d4"]["n_packs"] == 2
+
+
+def test_mixture_plan_absent_weighted_group_is_loud(spark):
+    """A weighted group with zero corpus rows cannot constrain the token
+    budget; the old plan silently emitted a positive T for an unservable
+    mixture (review finding) — now the plan itself raises."""
+    import pytest
+
+    from shacl_dqa_prototype_spark.operators.pipeline import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "en"), (1, "e f", "en")], ["doc_id", "text", "lang"])
+    with pytest.raises(Exception, match="unservable"):
+        mixture_plan(docs, {"en": 0.5, "fr": 0.5}).collect()
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """Exhausting max_iter without the fixpoint signature converging must
+    raise, not silently return an intermediate edge set as the mapping
+    (review finding)."""
+    import pytest
+
+    from shacl_dqa_prototype_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(40)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1, driver_threshold=0)

@@ -906,3 +906,54 @@ def test_merge_upsert_unbucketed_rejected_up_front(spark, tmp_path):
     t.commit_overwrite(spark.createDataFrame([("k1", 1), ("k2", 2)], schema))
     with pytest.raises(ValueError, match="bucket"):
         t.merge_upsert(spark.createDataFrame([("k1", 9)], schema), "k")
+
+
+def test_streaming_neardup_default_schema_and_no_self_pairs(spark, tmp_path):
+    """Two review findings: (a) the default schema (schema=None) must be
+    usable — it used to fall back to the nested DOCUMENTS_SCHEMA, which
+    has no 'text' column, so the documented default died on the first
+    batch; (b) a document re-delivered by an at-least-once upstream in a
+    LATER file matches its own indexed copy — the (x, x) self-pair must
+    be filtered (the batch operator can never emit one)."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_streaming_neardup,
+    )
+
+    flat = StructType([StructField("doc_id", StringType(), False),
+                       StructField("text", StringType(), True)])
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    in_dir = str(tmp_path / "in")
+    batches = [
+        [("a", dup), ("b", "unrelated words entirely different here now")],
+        [("a", dup)],  # upstream re-delivery of doc 'a' in a later file
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(in_dir, f"b{i}")
+        spark.createDataFrame(rows, flat).repartition(1) \
+            .write.mode("overwrite").parquet(p)
+        _time.sleep(0.05)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+
+    idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
+        StructField("doc_id", StringType(), True),
+        StructField("band", IntegerType(), True),
+        StructField("bucket", LongType(), True)]))
+    prs = SnapshotTable(spark, str(tmp_path / "pairs"), StructType([
+        StructField("doc_a", StringType(), True),
+        StructField("doc_b", StringType(), True)]))
+    start_streaming_neardup(
+        spark, in_dir + "/*", idx, prs, str(tmp_path / "ck"), n=3,
+        max_files_per_trigger=1, n_buckets=4,  # schema=None: flat default
+    ).awaitTermination(180)
+    got = {(r["doc_a"], r["doc_b"]) for r in prs.read().distinct().collect()}
+    assert got == set()  # no self-pairs, no cross pairs with 'b'
