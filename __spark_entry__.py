@@ -655,7 +655,9 @@ def oracle_sql() -> dict[str, str]:
     WITH x AS (
       SELECT doc_id, text, length(text) AS n_chars,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens,
              concat(' ', lower(text), ' ') AS padded
       FROM documents),
     y AS (

@@ -64,7 +64,7 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)) - 0),
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
                     lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
                 )
             ).alias("shingle"),
@@ -170,6 +170,13 @@ def lsh_bucket_rows(
     """(doc_id, band, bucket) LSH bucket membership — the shared substrate
     of batch candidate generation and the streaming near-dup index:
     bucket = hash of the band's signature chunk."""
+    if not 1 <= bands <= num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make every band's chunk EMPTY (one
+        # constant bucket for the whole corpus → the O(n²) cross product
+        # banding exists to avoid); a non-divisor would silently drop the
+        # trailing signature entries, changing the effective threshold
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, n, num_hashes, id_col, text_col, portable)
     return sig.select(
@@ -222,9 +229,16 @@ def dedup_clusters(
 ) -> DataFrame:
     """Duplicate-pair edges → clusters via connected components;
     returns (doc_id, canonical) where canonical = min doc id of the
-    cluster (the row to KEEP; non-canonical members are the drop set).
-    Composes with any pair generator above (exact, Jaccard, MinHash-LSH,
-    SimHash, embedding near-dup)."""
+    cluster IN STRING ORDER — ids are cast to string for the CC node
+    domain, so numeric ids with differing digit counts compare
+    lexicographically ('10' < '9'). This is deliberate and pinned by the
+    pipe_curate oracle; when a numeric min-id keep policy matters,
+    zero-pad ids to fixed width first (the dedup_cluster_exact contract
+    entry does exactly that), or — the real-pipeline policy — pick
+    keepers with keep_best_per_cluster, which keys on QUALITY and uses
+    the canonical label only as the cluster id. Composes with any pair
+    generator above (exact, Jaccard, MinHash-LSH, SimHash, embedding
+    near-dup)."""
     from pyspark.sql.types import StringType
 
     from shacl_dqa_prototype_spark.operators.connected_components import (

@@ -119,6 +119,12 @@ def extract_mentions(documents: DataFrame) -> DataFrame:
     min_by aggregation + equi-join — no Python touches media rows."""
     exploded = explode_spans(documents)
     fact_mentions = extract_fact_mentions(documents)
+    if not documents.isStreaming:
+        # fact_mentions feeds BOTH the first-subject aggregate and the
+        # final union; without materialization the pandas-UDF extraction
+        # — the only Python-side cost in the pipeline — runs twice per
+        # action (no exchange reuse bridges the two consumers)
+        fact_mentions = fact_mentions.localCheckpoint(eager=True)
 
     # Media spans → attach to the doc's first extracted subject (min span
     # position, then min fact ordinal). min_by keeps this one hash-agg job.

@@ -62,11 +62,14 @@ def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
 
 
 def lsh_signatures(
-    embeddings: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
+    embeddings: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH: bit i = sign(v · h_i). Signature is a compact
-    long — bucketing key for ANN and for cosine near-dup dedup."""
+    long — bucketing key for ANN and for cosine near-dup dedup. The
+    ``n_planes`` default MUST match query_signature/ann_topk (12): an
+    index built at one width and probed at another never matches —
+    silent recall loss, no error."""
     v = F.col(vec_col)
     sig = F.lit(0).cast("long")
     for i in range(n_planes):
@@ -168,7 +171,11 @@ def embedding_near_duplicates(
     exact duplicates. Still O(Σ band-bucket²) work, not O(n²); precision
     is exact (candidates are verified). Tune n_bands up for recall, down
     for pruning."""
-    assert n_planes % n_bands == 0, "n_planes must divide into equal bands"
+    if n_planes % n_bands != 0:
+        # ValueError, not assert: asserts vanish under python -O and the
+        # uneven-band fallout (silently reduced recall) must stay loud
+        raise ValueError(
+            f"n_bands ({n_bands}) must divide n_planes ({n_planes})")
     bits = n_planes // n_bands
     sig = lsh_signatures(embeddings, dim, n_planes, seed, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_sig"

@@ -59,7 +59,10 @@ def quality_score(
     t = F.col(text_col)
     n_chars = F.length(t)
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    # same empty-doc guard as token_count: split('') yields [''] (size 1),
+    # phantom tokens for every empty/whitespace-only doc
+    n_tokens = F.when(F.length(F.trim(t)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(t), r"\s+")))
     stop_hits = F.lit(0)
     for w in (" the ", " and ", " of ", " to ", " a "):
         stop_hits = stop_hits + F.when(
@@ -85,7 +88,9 @@ def quality_score(
 
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-word scoring heuristic: per language, count marker hits;
-    argmax with deterministic tie-break (alphabetical), 'und' if no hits."""
+    argmax with a deterministic tie-break — the alphabetically LAST
+    language among the tied ones wins ('und' if no hits). The SQL oracle
+    mirrors this exact order, so it is part of the pinned contract."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
     scores = []
     for lang in sorted(LANG_MARKERS):
@@ -98,7 +103,9 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     out = docs.select(F.col("doc_id"), *[c for (_, c) in scores])
     best = F.lit("und")
     best_score = F.lit(0.0)
-    for lang in sorted(LANG_MARKERS, reverse=True):  # reverse → earlier lang wins ties
+    # reverse order + strict '>' ⇒ the FIRST-processed (alphabetically
+    # LAST) language keeps ties — the order the oracle pins
+    for lang in sorted(LANG_MARKERS, reverse=True):
         c = F.col(f"score_{lang}")
         cond = c > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
@@ -169,9 +176,16 @@ def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 16) -> Da
         for pdf in batches:
             yield _fingerprint_batch(pdf, text_col, window)
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        fp, schema="doc_id long, fingerprint long"
-    )
+    # carry the input's doc_id type through — a hard-coded 'long' crashed
+    # the Arrow conversion for string-keyed corpora (every other textstats
+    # operator is id-type-generic)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        docs.schema["doc_id"],
+        StructField("fingerprint", LongType(), True),
+    ])
+    return docs.select("doc_id", text_col).mapInPandas(fp, schema=out_schema)
 
 
 # Docs are processed in small groups so the dozen flat uint64

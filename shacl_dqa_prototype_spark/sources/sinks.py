@@ -83,7 +83,11 @@ class Manifest:
         return row
 
     def commit(self, stage: str, rows: int, partitions: int, payload: dict | None = None) -> None:
-        seq = int(time.monotonic_ns())
+        # wall clock, NOT time.monotonic_ns(): committed() orders rows
+        # across RUNS by seq, and monotonic time resets on reboot — a
+        # re-run after reboot would lose to a high-uptime row from before
+        # it and resume() would silently read the stale snapshot
+        seq = int(time.time_ns())
         rec = {
             "run_id": self.run_id,
             "stage": stage,

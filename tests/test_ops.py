@@ -1086,3 +1086,52 @@ def test_connected_components_nonconvergence_is_loud(spark):
         [(f"n{i}", f"n{i+1}") for i in range(40)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=1, driver_threshold=0)
+
+
+def test_fingerprint_string_doc_ids(spark):
+    """fingerprint must carry the input's doc_id type through — the
+    output schema was hard-coded 'doc_id long' and crashed the Arrow
+    conversion for string-keyed corpora (review finding)."""
+    docs = spark.createDataFrame(
+        [("a1", "hello world this is a document"), ("b2", "short")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in textstats.fingerprint(docs).collect()}
+    assert set(got) == {"a1", "b2"} and all(
+        isinstance(v, int) for v in got.values())
+    # numeric ids still work and values are unchanged by the keying
+    docs2 = spark.createDataFrame(
+        [(1, "hello world this is a document")], ["doc_id", "text"])
+    v2 = textstats.fingerprint(docs2).collect()[0]["fingerprint"]
+    assert v2 == got["a1"]
+
+
+def test_lsh_bands_must_divide_hashes(docs):
+    """bands > num_hashes used to make every band's chunk EMPTY — one
+    constant bucket for the whole corpus, i.e. the O(n^2) cross product
+    banding exists to avoid; a non-divisor silently dropped trailing
+    signature entries (review finding)."""
+    with pytest.raises(ValueError, match="divide"):
+        dedup.lsh_bucket_rows(docs, num_hashes=64, bands=96)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_candidates(docs, num_hashes=64, bands=24)
+
+
+def test_quality_score_empty_doc_tokens(spark):
+    """quality_score must report n_tokens = 0 for empty/whitespace-only
+    docs, consistent with token_count's guard (review finding: split('')
+    yields [''], a phantom token)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words")], ["doc_id", "text"])
+    q = {r["doc_id"]: r["n_tokens"]
+         for r in textstats.quality_score(docs).collect()}
+    t = {r["doc_id"]: r["n_tokens_ws"]
+         for r in textstats.token_count(docs).collect()}
+    assert q == t == {1: 0, 2: 0, 3: 2}
+
+
+def test_embedding_neardup_uneven_bands_rejected(spark):
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="divide"):
+        similarity.embedding_near_duplicates(emb, dim=2, n_planes=12,
+                                             n_bands=5)
