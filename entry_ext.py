@@ -1533,8 +1533,12 @@ def ext_oracles() -> dict[str, str]:
     o["profile_namespace"] = f"""
     WITH triples2 AS ({TRIPLES2_SQL}),
     ns AS (
-      SELECT regexp_extract(s, '^(.*[#/])', 1) AS ns FROM triples2
-      WHERE left(s, 2) <> '_:' AND regexp_extract(s, '^(.*[#/])', 1) <> ''
+      SELECT ns FROM (
+        SELECT CASE WHEN contains(s, '#')
+                    THEN regexp_extract(s, '^(.*#)', 1)
+                    ELSE regexp_extract(s, '^(.*/)', 1) END AS ns
+        FROM triples2 WHERE left(s, 2) <> '_:')
+      WHERE ns <> ''
     )
     SELECT ns FROM ns GROUP BY ns ORDER BY count(*) DESC, ns LIMIT 1"""
 
@@ -2093,11 +2097,11 @@ def ext_oracles() -> dict[str, str]:
     o["kg_property_path"] = f"""
     WITH triples AS ({_CORE_TRIPLES_SQL}),
     e0 AS (SELECT o AS src, s AS dst FROM triples
-           WHERE p = 'urn:p:hasSupplier' AND o_kind = 'iri'),
+           WHERE p = 'urn:p:hasSupplier' AND o_kind IN ('iri', 'bnode')),
     e1 AS (SELECT s, o FROM triples
-           WHERE p = 'urn:p:hasCustomer' AND o_kind = 'iri'),
+           WHERE p = 'urn:p:hasCustomer' AND o_kind IN ('iri', 'bnode')),
     e2 AS (SELECT s, o FROM triples
-           WHERE p = 'urn:p:inNation' AND o_kind = 'iri')
+           WHERE p = 'urn:p:inNation' AND o_kind IN ('iri', 'bnode'))
     SELECT DISTINCT e0.src AS src, e2.o AS dst
     FROM e0 JOIN e1 ON e0.dst = e1.s JOIN e2 ON e1.o = e2.s"""
 

@@ -37,11 +37,16 @@ def k_hop_reachability(
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     if not directed:
         e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    e = e.distinct()
+    # materialize the doubled+distinct edge table ONCE — every hop's join
+    # reuses it, and without the checkpoint each hop's action re-ran the
+    # full edge scan + union + distinct shuffle (k recomputations of the
+    # most expensive input; pagerank/triangle_count already do this)
+    e = e.distinct().localCheckpoint()
 
     visited = seeds.select(
         F.col("node"), F.lit(0).alias("min_hops")).distinct().localCheckpoint()
     frontier = visited.select("node")
+    prev_layer = None
     for hop in range(1, k + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["a"])
@@ -53,15 +58,22 @@ def k_hop_reachability(
         # materialize the layer once: it feeds both the union (visited)
         # and the next join (frontier), and checkpointing flattens the
         # k-deep lineage that would otherwise re-run every prior hop;
-        # the superseded visited checkpoint is released right after the
-        # union materializes so only O(1) checkpoints stay pinned
+        # superseded checkpoints (last visited, the layer before this
+        # one) are released as soon as their consumers have run, so only
+        # O(1) checkpoints stay pinned
         nxt = nxt.localCheckpoint()
+        if prev_layer is not None:
+            prev_layer.unpersist()
+        prev_layer = nxt
         if not nxt.take(1):
             break
         prev = visited
         visited = visited.unionByName(nxt).localCheckpoint()
         prev.unpersist()
         frontier = nxt.select("node")
+    if prev_layer is not None:
+        prev_layer.unpersist()
+    e.unpersist()
     return visited
 
 
@@ -110,6 +122,11 @@ def pagerank(
         F.count("*").alias("n"),
         F.sum((F.col("deg") == 0).cast("long")).alias("n0")).first()
     n_total, n_dangling = row["n"], row["n0"] or 0
+    if n_total == 0:
+        # empty edge set → empty result, not a ZeroDivisionError on the
+        # driver (k_hop/triangle_count handle degenerate input the same)
+        e.unpersist()
+        return nd.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n_total
     ranks = nd.withColumn("rank", F.lit(1.0 / n_total))
     dm = n_dangling * (1.0 / n_total)
@@ -264,8 +281,12 @@ def follow_property_path(
     def step(p: str) -> DataFrame:
         inv = p.startswith("^")
         pred = p[1:] if inv else p
+        # the o_kind filter exists to exclude LITERAL objects (they can't
+        # be traversed); blank nodes are first-class path nodes in SPARQL
+        # — an iri-only filter silently emptied every path through the
+        # [ … ] property lists / collections the Turtle reader emits
         e = triples.filter(
-            (F.col("p") == pred) & (F.col("o_kind") == "iri"))
+            (F.col("p") == pred) & F.col("o_kind").isin("iri", "bnode"))
         return (e.select(F.col("o").alias("src"), F.col("s").alias("dst"))
                 if inv else
                 e.select(F.col("s").alias("src"), F.col("o").alias("dst")))

@@ -111,8 +111,6 @@ class ConstraintPlan:
     def violations_for(self, metrics) -> DataFrame:
         """Union of only the branches that can emit `metrics`, filtered —
         branch pruning the optimizer can't do through the fused explode."""
-        from functools import reduce
-
         want = frozenset(metrics)
         keep = [part.filter(F.col("metric").isin(list(want)))
                 for part, ms in zip(self.parts, self.part_metrics)
@@ -185,8 +183,8 @@ def compile_data_constraints(
         F.max((p == cfg.description_property) & F.col("o_lang").isNull()).alias("dsc_nolang"),
     ).cache()
     # entity targets minus the sh:or exemption set (rdfs:Class/rdf:Property/
-    # owl:NamedIndividual focus nodes are exempt — template:16-33)
-    EnX = subj.filter(F.col("is_entity") & ~F.col("is_exempt"))
+    # owl:NamedIndividual focus nodes are exempt — template:16-33) are
+    # expressed as the fused scan's `_ent` predicate, not a separate branch
 
     # sh:class semantics: SHACL instance = typed as the class OR any
     # rdfs:subClassOf descendant — extend typing through the closure dim.
@@ -200,13 +198,13 @@ def compile_data_constraints(
 
     if used_props is None or used_classes is None:
         # usage pruning inputs (tiny: O(#properties), O(#classes)) — ONE
-        # fused aggregation job for both sets (collect_set skips nulls)
-        usage = T.agg(
-            F.collect_set("p").alias("props"),
-            F.collect_set(F.when(p == cfg.type_property, o)).alias("classes"),
-        ).first()
-        used_props = set(usage["props"]) if used_props is None else used_props
-        used_classes = set(usage["classes"]) if used_classes is None else used_classes
+        # fused aggregation job for both sets, shared with the raw-graph
+        # pruning path so the usage semantics can never desynchronize
+        from shacl_dqa_prototype_spark.plans.vocab import raw_usage_sets
+
+        props_set, classes_set = raw_usage_sets(T, cfg.type_property)
+        used_props = props_set if used_props is None else used_props
+        used_classes = classes_set if used_classes is None else used_classes
 
     classes = [t for t in vocab_terms if t.term_kind == "class" and not t.deprecated]
     depr_classes = [t.term for t in vocab_terms if t.term_kind == "class" and t.deprecated]

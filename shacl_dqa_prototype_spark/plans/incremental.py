@@ -56,6 +56,15 @@ raw triples don't produce duplicate violation rows the way a batch scan
 does. Scoring is unaffected (it distincts focus nodes), and the parity
 tests compare distinct sets.
 
+Input contract: apply_delta dedups WITHIN each delta (matching the batch
+path's dropDuplicates at read), but a triple RE-ASSERTED in a later
+delta is the caller's responsibility — the sum-merged ps_counts has no
+per-triple memory, so re-assertion inflates num_triples /
+triples_per_property and can surface a false FunctionalProperty
+violation. Appends produced by the construction pipeline are set-new by
+construction; an at-least-once upstream should anti-join its delta
+against the served triple table first.
+
 State lives in SnapshotTables, so DQA state itself is atomic, resumable,
 and time-travelable. apply_delta is IDEMPOTENT per delta_id: every table
 commit records the delta id, and a retried apply skips tables whose log
@@ -472,7 +481,13 @@ def apply_delta(
 
     folds = (_fold_flags, _fold_ps, _fold_cls, _fold_po, _fold_dom,
              _fold_spo, _fold_mono)
-    delta = delta.persist()
+    # RDF is SET-semantic and the batch path dropDuplicates() the triple
+    # table at read (main.py) — a duplicate triple WITHIN one delta must
+    # not inflate the sum-merged ps_counts (false FunctionalProperty
+    # violations, drifted num_triples). One delta-sized distinct matches
+    # the batch semantics. Re-assertion ACROSS deltas remains the caller's
+    # contract (see module docstring): deltas carry set-new triples.
+    delta = delta.dropDuplicates().persist()
     try:
         # materialize the shared input ONCE so concurrent folds read the
         # cache instead of racing to compute the same partitions

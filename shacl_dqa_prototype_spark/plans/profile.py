@@ -87,10 +87,17 @@ def profile_graph(
 
 
 def infer_namespace(T: DataFrame) -> str:
-    """B9 — most common namespace of subject IRIs (utils.py:138-154)."""
+    """B9 — most common namespace of subject IRIs (utils.py:138-154).
+    The reference splits '#'-FIRST (rsplit('#') when present, else
+    rsplit('/')) — a single greedy [#/] regex would capture through a
+    '/' occurring after the '#' (…vocab#section/item → …vocab#section/),
+    mis-deriving base_uri/uri_space for such datasets."""
     row = (
         T.filter(~F.col("s").startswith("_:"))
-        .select(F.regexp_extract("s", r"^(.*[#/])", 1).alias("ns"))
+        .select(
+            F.when(F.col("s").contains("#"),
+                   F.regexp_extract("s", r"^(.*#)", 1))
+            .otherwise(F.regexp_extract("s", r"^(.*/)", 1)).alias("ns"))
         .filter(F.col("ns") != "")
         .groupBy("ns")
         .count()

@@ -269,7 +269,13 @@ def profile_to_vocab_terms(p: VocabProfile, vocab: str = "vocab") -> tuple[list[
 
     for c in p.classes:
         terms.append(VocabTerm(c, "class"))
-    for c in p.deprecated_classes:
+    # order-preserving dedup: a term both owl:deprecated=true AND typed
+    # owl:DeprecatedClass/Property is appended TWICE by mine_vocab (the
+    # profile mirrors the reference's lists byte-for-byte and must keep
+    # the duplicate), but duplicate VocabTerms would instantiate duplicate
+    # C17/C21/C22 ShapeSpecs → duplicate report rows and a double-counted
+    # meta rollup, where the reference's RDF-graph set semantics emit one
+    for c in dict.fromkeys(p.deprecated_classes):
         terms.append(VocabTerm(c, "class", deprecated=True))
     for t, dr in p.object_properties.items():
         rng = dr.get("range")
@@ -288,7 +294,7 @@ def profile_to_vocab_terms(p: VocabProfile, vocab: str = "vocab") -> tuple[list[
         terms.append(VocabTerm(t, "rdf_property", domain=dr.get("domain"),
                                range=rng.get("value"), range_kind=rng.get("type"),
                                **char_flags(t)))
-    for t in p.deprecated_properties:
+    for t in dict.fromkeys(p.deprecated_properties):  # see dedup note above
         terms.append(VocabTerm(t, "rdf_property", deprecated=True))
     return terms, [(a, b) for a, b in p.disjoint_classes]
 

@@ -638,3 +638,49 @@ def test_ttl_longstring_scan_blockwise_edges(tmp_path):
     # opener on a final line with no trailing newline
     p.write_bytes(b'<http://e/w> <http://e/p> """no-eol')
     assert _ttl_has_long_strings(str(p)) is True
+
+
+def test_doubly_deprecated_term_yields_one_shape():
+    """A property both owl:deprecated=true AND typed owl:DeprecatedProperty
+    appears twice in the mined profile list (byte-exact reference parity)
+    but must instantiate ONE VocabTerm — duplicates produced duplicate
+    C17/C22 report rows and a double-counted meta rollup (review
+    finding)."""
+    from shacl_dqa_prototype_spark.plans.vocab import (
+        mine_vocab,
+        profile_to_vocab_terms,
+    )
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    P, C = "http://v.org/ns#P", "http://v.org/ns#C"
+    rows = [
+        (P, RDF_T, f"{OWL}ObjectProperty", "iri", None, None),
+        (P, RDF_T, f"{OWL}DeprecatedProperty", "iri", None, None),
+        (P, f"{OWL}deprecated", "true", "literal", None, None),
+        (C, RDF_T, f"{OWL}Class", "iri", None, None),
+        (C, RDF_T, f"{OWL}DeprecatedClass", "iri", None, None),
+        (C, f"{OWL}deprecated", "true", "literal", None, None),
+    ]
+    prof = mine_vocab(rows)
+    # the PROFILE keeps the reference's duplicate appends byte-for-byte
+    assert prof.deprecated_properties.count(P) == 2
+    assert prof.deprecated_classes.count(C) == 2
+    terms, _ = profile_to_vocab_terms(prof)
+    dep_p = [t for t in terms if t.term == P and t.deprecated]
+    dep_c = [t for t in terms if t.term == C and t.deprecated]
+    assert len(dep_p) == 1 and len(dep_c) == 1
+
+
+def test_infer_namespace_hash_first(spark):
+    """The reference splits namespaces '#'-first; a greedy [#/] regex
+    captured through a '/' occurring after the '#' (review finding)."""
+    from shacl_dqa_prototype_spark.plans.profile import infer_namespace
+
+    T = spark.createDataFrame(
+        [(f"http://ex.org/vocab#section/item{i}", "urn:p", "o",
+          "iri", None, None) for i in range(3)]
+        + [("http://other.org/a/b", "urn:p", "o", "iri", None, None)],
+        "s string, p string, o string, o_kind string, "
+        "o_dtype string, o_lang string")
+    assert infer_namespace(T) == "http://ex.org/vocab#"

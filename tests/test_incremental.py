@@ -229,3 +229,34 @@ def test_vacuum_bounds_state_and_preserves_idempotence(spark, tmp_path):
     apply_delta(state, T.filter(split).limit(0), core.ENTRY_CFG,
                 core.ENTRY_VOCAB, n_buckets=4, delta_id="d3")
     assert state.ps_counts.read().agg(F.sum("n")).first()[0] == n_before
+
+
+def test_apply_delta_dedups_within_delta(spark, tmp_path):
+    """A duplicate triple WITHIN one delta must not inflate the
+    sum-merged ps_counts — batch reads dropDuplicates() the triple table,
+    and a duplicated functional-property assertion produced a false
+    FunctionalProperty violation (review finding)."""
+    from shacl_dqa_prototype_spark.plans.constraints import (
+        DQAConfig,
+        VocabTerm,
+    )
+    from shacl_dqa_prototype_spark.plans.incremental import (
+        IncrementalDQAState,
+        apply_delta,
+        profile_from_state,
+        violations_from_state,
+    )
+
+    cfg = DQAConfig(base_uri="urn:x:", type_property="rdf:type")
+    terms = [VocabTerm("urn:p:fp", "object_property", functional=True)]
+    state = IncrementalDQAState.open(spark, str(tmp_path / "st"))
+    row = ("urn:x:s1", "urn:p:fp", "urn:x:o1", "iri", None, None)
+    delta = spark.createDataFrame(
+        [row, row],  # same triple asserted twice in one delta
+        "s string, p string, o string, o_kind string, "
+        "o_dtype string, o_lang string")
+    apply_delta(state, delta, cfg, terms, n_buckets=4, delta_id="d1")
+    prof = profile_from_state(state)
+    assert prof["scalars"].first()["num_triples"] == 1
+    v = violations_from_state(state, terms, cfg)
+    assert v.filter(v.metric.contains("Functional")).count() == 0

@@ -1135,3 +1135,29 @@ def test_embedding_neardup_uneven_bands_rejected(spark):
     with pytest.raises(ValueError, match="divide"):
         similarity.embedding_near_duplicates(emb, dim=2, n_planes=12,
                                              n_bands=5)
+
+
+def test_property_path_through_blank_nodes(spark):
+    """Blank nodes are first-class path nodes in SPARQL — an iri-only
+    o_kind filter silently emptied every path through [ ... ] property
+    lists (review finding). Literals stay excluded."""
+    from shacl_dqa_prototype_spark.operators.traversal import (
+        follow_property_path,
+    )
+
+    T = spark.createDataFrame(
+        [("urn:A", "urn:p1", "_:b", "bnode", None, None),
+         ("_:b", "urn:p2", "urn:C", "iri", None, None),
+         ("urn:A", "urn:p1", "lit", "literal", None, None)],
+        "s string, p string, o string, o_kind string, "
+        "o_dtype string, o_lang string")
+    got = {(r["src"], r["dst"]) for r in
+           follow_property_path(T, ["urn:p1", "urn:p2"]).collect()}
+    assert got == {("urn:A", "urn:C")}
+
+
+def test_pagerank_empty_edges(spark):
+    from shacl_dqa_prototype_spark.operators.traversal import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iterations=3).collect() == []
