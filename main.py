@@ -90,7 +90,15 @@ def _read_rdf(spark, path: str, fmt: str | None = None,
     fmt = fmt or ""
     if fmt in ("nt", "ntriples") or (not fmt and path.endswith((".nt", ".ntriples"))):
         # RDF graphs are sets (rdflib semantics) — dedupe on read
-        return rdf.read_ntriples(spark, path).dropDuplicates(), None
+        df = rdf.read_ntriples(spark, path).dropDuplicates()
+        if need_rows:
+            # vocab/metadata callers need the driver row list; returning
+            # rows=None here silently turned an .nt vocabulary into an
+            # EMPTY graph (mine_vocab([]) → empty namespace → the whole
+            # vocab report garbled). Vocab graphs are KB–MB, so the
+            # collect is the same size as the other driver-side parsers.
+            return None, [tuple(r) for r in df.collect()]
+        return df, None
     if fmt in ("ttl", "n3", "turtle") or (
             not fmt and path.endswith((".ttl", ".n3", ".turtle"))):
         if (not need_rows
@@ -337,8 +345,10 @@ def cmd_dqa(args) -> None:
 
         t0 = time.time()
         for name, rows in vocab_graphs:
-            reports.append(run_vocab_dqa(spark, name, rows,
-                                         used_classes, used_props))
+            reports.append(run_vocab_dqa(
+                spark, name, rows, used_classes, used_props,
+                labeling_property=cfg.labeling_property,
+                profile=vocab_profiles.get(name)))
         timings["vocab_shapes_elapsed_time"] = time.time() - t0
 
     plan = None
@@ -354,7 +364,10 @@ def cmd_dqa(args) -> None:
 
     from functools import reduce
 
-    report = reduce(lambda a, b: a.unionByName(b), reports)
+    # cache: the CSV write, the JSON write, and the collect below are
+    # three actions over the same unioned scoring plan — without the
+    # cache the aggregations re-execute per action
+    report = reduce(lambda a, b: a.unionByName(b), reports).cache()
     os.makedirs(args.output, exist_ok=True)
     write_report_csv(report, os.path.join(args.output, "dq_report_csv"))
     write_report_json(report, os.path.join(args.output, "dq_report_json"))
@@ -365,6 +378,7 @@ def cmd_dqa(args) -> None:
     )
 
     report_rows = report.collect()
+    report.unpersist()  # third and last action on the cached union
     if plan is not None:
         timings["data_shapes_elapsed_time"] = time.time() - t0
 

@@ -247,11 +247,3 @@ def entity_dictionary(spark: SparkSession, cfg: GenConfig) -> DataFrame:
     )
 
 
-def canonical_map_truth(cfg: GenConfig) -> dict[str, str]:
-    """Expected CC outcome: every dup IRI collapses to min(component) —
-    lexicographically ``dup/NNN`` < ``entity/NNN``, so the representative of
-    a merged pair is the dup IRI. Deterministic; used only by tests."""
-    out = {}
-    for i in range(cfg.n_entities):
-        out[entity_iri(i)] = dup_iri(i)  # only if a sameAs edge exists for i
-    return out

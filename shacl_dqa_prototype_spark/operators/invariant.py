@@ -66,10 +66,11 @@ def invariant_violations(documents: DataFrame, exploded: DataFrame) -> DataFrame
     )
     return (
         original.join(rebuilt, "doc_id", "full")
-        .filter(
-            F.col("expected").isNull()
-            | F.col("actual").isNull()
-            | (F.col("expected") != F.col("actual"))
-        )
+        # a doc with spans=[] is absent from the exploded side (posexplode
+        # emits nothing), so actual is NULL while expected is "[]" — the
+        # coalesce makes that a PASS, not a spurious violation; a doc
+        # genuinely missing from either side still compares unequal
+        .filter(F.coalesce("expected", F.lit("[]"))
+                != F.coalesce("actual", F.lit("[]")))
         .select("doc_id", "expected", "actual")
     )

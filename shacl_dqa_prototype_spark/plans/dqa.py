@@ -78,6 +78,8 @@ def run_vocab_dqa(
     vocab_rows: list[tuple],
     used_classes: set[str],
     used_props: set[str],
+    labeling_property: str | None = None,
+    profile=None,
 ) -> DataFrame:
     """C37-C40 for one vocabulary, against its self-typed graph
     (utils.py:771-785) with namespace routing (dq_assessment.py:176-199).
@@ -94,13 +96,19 @@ def run_vocab_dqa(
     from shacl_dqa_prototype_spark.plans.constraints import VocabTerm
 
     rdf_type = f"{RDF}type"
-    prof_v = mine_vocab(vocab_rows)
+    # reuse the caller's mined profile when available (cmd_dqa mines each
+    # vocab once for the profile JSON sink) instead of mining twice
+    prof_v = profile if profile is not None else mine_vocab(vocab_rows)
     typed = tbox_self_typing_rows(vocab_rows)
     classes_all = sorted({s for (s, p, o, *_r) in typed
                           if p == rdf_type and o == f"{RDFS}Class"})
     props_all = sorted({s for (s, p, o, *_r) in typed
                         if p == rdf_type and o == f"{RDF}Property"})
-    labeled = {s for (s, p, o, *_r) in vocab_rows if p == f"{RDFS}label"}
+    # C37/C38 label presence keys on the CONFIGURED labeling property
+    # (reference shacl_shape_builder.py:546-547 uses self.labeling_property)
+    # — a hard-coded rdfs:label mis-scored skos:prefLabel-labeled vocabs
+    lbl_prop = labeling_property or f"{RDFS}label"
+    labeled = {s for (s, p, o, *_r) in vocab_rows if p == lbl_prop}
     vterms = ([VocabTerm(c, "class") for c in classes_all]
               + [VocabTerm(p, "object_property") for p in props_all])
     plan = compile_vocab_constraints(

@@ -39,7 +39,6 @@ FORMAT_IRIS = {
     "http://www.w3.org/ns/formats/Turtle",
 }
 
-MISSING = "property missing"
 INCORRECT = "The property is present but the value is incorrect."
 
 
@@ -56,10 +55,20 @@ def evaluate_metadata(metadata: DataFrame, metadata_class: str) -> list[Metadata
     triples = [(r["s"], r["p"], r["o"], r["o_kind"]) for r in
                metadata.select("s", "p", "o", "o_kind").collect()]
     datasets = {s for (s, p, o, _) in triples if p == RDF_TYPE and o == metadata_class}
+    if not datasets:
+        # SHACL conformance with ZERO focus nodes: every shape CONFORMS.
+        # The reference defaults each binary metric to 1 and only flips
+        # on a ValidationResult (dq_assessment.py:294-330), so an untyped
+        # or missing dataset node scores all 1s — not all 0s
+        return [MetadataResult(m, 1, None) for m in (
+            "PresenceMetadata", "ExemplaryResources", "VocabularyExistence",
+            "URIRegexPressence", "URISpacePressence",
+            "MachineReadableLicense", "SerializationFormats",
+            "AvailabilityDump", "AuthenticityOfDataset")]
 
-    def vals(pred: str, focus=None) -> list[tuple[str, str]]:
+    def vals(pred: str) -> list[tuple[str, str]]:
         return [(o, k) for (s, p, o, k) in triples
-                if p == pred and s in (datasets if focus is None else focus)]
+                if p == pred and s in datasets]
 
     def types_of(node: str) -> set[str]:
         return {o for (s, p, o, _) in triples if s == node and p == RDF_TYPE}

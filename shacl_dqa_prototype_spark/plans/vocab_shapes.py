@@ -56,8 +56,13 @@ def compile_vocab_constraints(
     # within this vocab's namespace must be defined by the vocab.
     defined_classes = {t.term for t in classes}
     defined_props = {t.term for t in props}
-    ns_used_classes = sorted(c for c in used_classes if c.startswith(namespace))
-    ns_used_props = sorted(p for p in used_props if p.startswith(namespace))
+    # empty namespace (all-bnode or empty vocab): startswith('') is True
+    # for EVERYTHING, which would flag every used term in the dataset as
+    # Undefined — mirror mine_vocab's bool(ns) guard and scope nothing
+    ns_used_classes = sorted(
+        c for c in used_classes if namespace and c.startswith(namespace))
+    ns_used_props = sorted(
+        p for p in used_props if namespace and p.startswith(namespace))
     for c in ns_used_classes:
         if c not in defined_classes:
             rows.append(("UndefinedClass", c, c, None))

@@ -124,3 +124,20 @@ def test_salted_popularity_matches_naive(spark):
              .agg(F.countDistinct("doc_id").alias("n")).collect()}
     assert salted == naive
     assert salted["hot"] == 700
+
+
+def test_invariant_empty_spans_doc_passes(spark):
+    """A doc with spans=[] vanishes from the exploded side (posexplode
+    emits nothing) — the full-join NULL used to read as a violation even
+    though no span was lost (review finding)."""
+    from shacl_dqa_prototype_spark.operators.extract import explode_spans
+    from shacl_dqa_prototype_spark.operators.invariant import (
+        invariant_violations,
+    )
+    from shacl_dqa_prototype_spark.schemas import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [("d_empty", []),
+         ("d_one", [("text", "hello", None, 0)])], DOCUMENTS_SCHEMA)
+    v = invariant_violations(docs, explode_spans(docs))
+    assert v.count() == 0

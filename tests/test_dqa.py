@@ -684,3 +684,79 @@ def test_infer_namespace_hash_first(spark):
         "s string, p string, o string, o_kind string, "
         "o_dtype string, o_lang string")
     assert infer_namespace(T) == "http://ex.org/vocab#"
+
+
+def test_read_rdf_nt_vocab_rows(spark, tmp_path):
+    """An .nt vocabulary must yield the driver row list — need_rows was
+    ignored on the nt branch, so mine_vocab ran on [] and the whole vocab
+    report was silently garbled (review finding)."""
+    import main as mainmod
+
+    p = tmp_path / "v.nt"
+    p.write_text(
+        "<http://v.org/ns#C> "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://www.w3.org/2002/07/owl#Class> .\n")
+    _, rows = mainmod._read_rdf(spark, str(p), need_rows=True)
+    assert rows and rows[0][0] == "http://v.org/ns#C"
+
+
+def test_vocab_dqa_configured_labeling_property(spark):
+    """C37/C38 label presence keys on the CONFIGURED labeling property
+    (reference shacl_shape_builder.py:546-547) — it was hard-coded to
+    rdfs:label, mis-scoring skos:prefLabel-labeled vocabs (review
+    finding)."""
+    from shacl_dqa_prototype_spark.plans.dqa import run_vocab_dqa
+
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    SKOS_PL = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    rows = [
+        ("http://v.org/ns#C", RDF_T, f"{OWL}Class", "iri", None, None),
+        ("http://v.org/ns#C", SKOS_PL, "a class", "literal", None, "en"),
+    ]
+    rep = run_vocab_dqa(spark, "v", rows, set(), set(),
+                        labeling_property=SKOS_PL)
+    lbl = {r["metric"]: r["measure"] for r in rep.collect()
+           if r["metric"] == "LabelForClasses"}
+    assert lbl["LabelForClasses"] == 1.0  # labeled via the configured prop
+    rep2 = run_vocab_dqa(spark, "v", rows, set(), set())  # default rdfs:label
+    lbl2 = {r["metric"]: r["measure"] for r in rep2.collect()
+            if r["metric"] == "LabelForClasses"}
+    assert lbl2["LabelForClasses"] == 0.0
+
+
+def test_vocab_empty_namespace_no_undefined_flood(spark):
+    """An all-bnode (or empty) vocab has namespace '' — startswith('')
+    matches EVERYTHING, so every used class/property in the dataset was
+    flagged Undefined (review finding); an empty namespace now scopes
+    nothing."""
+    from shacl_dqa_prototype_spark.plans.vocab_shapes import (
+        compile_vocab_constraints,
+    )
+
+    plan = compile_vocab_constraints(
+        spark, "v", "", [], {},
+        used_classes={"urn:c:A", "urn:c:B"}, used_props={"urn:p:x"})
+    undef = plan.violations.filter(
+        plan.violations.metric.contains("Undefined")).count()
+    assert undef == 0
+
+
+def test_metadata_zero_focus_nodes_conforms():
+    """SHACL with zero target nodes CONFORMS: the reference defaults every
+    binary metadata metric to 1 and only flips on a ValidationResult
+    (dq_assessment.py:294-330) — an untyped dataset node scored all 0s
+    here (review finding)."""
+    from pyspark.sql import SparkSession
+
+    from shacl_dqa_prototype_spark.plans.metadata import evaluate_metadata
+
+    spark = SparkSession.getActiveSession()
+    md = spark.createDataFrame(
+        [("urn:d", "http://purl.org/dc/terms/title", "t", "literal",
+          None, None)],  # dataset node NOT typed void:Dataset
+        "s string, p string, o string, o_kind string, "
+        "o_dtype string, o_lang string")
+    res = evaluate_metadata(md, "http://rdfs.org/ns/void#Dataset")
+    assert len(res) == 9 and all(r.measure == 1 for r in res)
