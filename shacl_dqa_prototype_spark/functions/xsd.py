@@ -43,6 +43,11 @@ XSD_REGEX_PATTERNS: dict[str, str] = {
     # Literal.ill_typed) never reports them ill-formed — the pizza golden
     # output leaves the invalid "---45"^^xsd:gDay unflagged while flagging
     # the invalid "25"^^xsd:gYear. Unknown datatype ⇒ well-formed.
+    # Known deviation from strict XSD 1.1, kept for reference parity: the
+    # three duration patterns accept component-less forms ('P', 'PT',
+    # '-P') that the grammar rejects (it requires >=1 component) — the
+    # reference's regex table has the same acceptance, and the oracle
+    # pins it.
     f"{_XSD}duration": r"^-?P([0-9]+Y)?([0-9]+M)?([0-9]+D)?(T([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?$",
     f"{_XSD}yearMonthDuration": r"^-?P([0-9]+Y)?([0-9]+M)?$",
     f"{_XSD}dayTimeDuration": r"^-?P([0-9]+D)?(T([0-9]+H)?([0-9]+M)?([0-9]+(\.[0-9]+)?S)?)?$",

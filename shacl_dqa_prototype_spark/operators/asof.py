@@ -41,6 +41,13 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
+    reserved = {"_r", "_is_l", "_m"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        # withColumn would silently OVERWRITE a caller column of the same
+        # name and the internal drop would then remove it from the output
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)}; "
+            "rename them first")
     rc = tuple(right_cols) if right_cols is not None else tuple(
         c for c in right.columns if c not in by and c != on)
     payload = F.struct(

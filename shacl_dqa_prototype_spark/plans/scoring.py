@@ -146,6 +146,12 @@ def score_plan(
         .when(F.col("denom") == "subjects_per_property", F.col("denom_spp"))
         .when(F.col("denom") == "entities_per_class", F.col("denom_epc"))
     )
+    # Parity note: EntitiesDisjointClasses divides a subclass-CLOSURE
+    # numerator (pySHACL sh:class semantics) by the DIRECT-typing
+    # entities_per_class denominator — deliberately mirroring the
+    # reference (utils.py:869-871 reads the same profile dict and
+    # defaults a missing class to 1, flooring the measure to 0; our NULL
+    # denominator floors to the same 0.0 through greatest()).
     measure = (
         F.when(F.col("denom") == "binary",
                (F.col("num_violations") == 0).cast("double"))

@@ -75,7 +75,9 @@ def data_shapes_ttl(
     out = [PREFIXES]
     pc = cc = 0  # property / class shape counters (builder.py:27-46)
 
-    def prop_shape(family: str, body: str) -> None:
+    def prop_shape(body: str) -> None:
+        # ONE shared counter across property-shape families, matching the
+        # reference builder's running index (builder.py:27-46)
         nonlocal pc
         out.append(body.replace("{i}", str(pc)))
         pc += 1
@@ -226,7 +228,7 @@ def data_shapes_ttl(
             f"instances of the class {a} that are instances of the "
             f'disjoint class {b}";\n    ].\n\n')
     for t in props:
-        prop_shape("MisplacedProperties",
+        prop_shape(
             "ex:MisplacedPropertiesShape_{i}\n    a sh:NodeShape ;\n"
             f"    sh:targetNode <{t.term}> ;\n    sh:property [\n"
             f"        sh:path [ sh:inversePath <{tp}> ] ;\n"
@@ -236,14 +238,14 @@ def data_shapes_ttl(
 
     def domain_shape(t: VocabTerm) -> None:
         if t.domain != OWL_THING:
-            prop_shape("CorrectDomain",
+            prop_shape(
                 "ex:CorrectDomainShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n"
                 '    sh:message "CorrectDomain_{i} - The property '
                 f'{t.term} is used with an incorrect domain" ;\n'
                 f"    sh:class <{t.domain}> .\n\n")
         else:  # owl:Thing → nodeKind (builder:325-328)
-            prop_shape("CorrectDomain",
+            prop_shape(
                 "ex:CorrectDomainShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n"
                 "    sh:nodeKind sh:BlankNodeOrIRI ;\n"
@@ -251,7 +253,7 @@ def data_shapes_ttl(
                 f'{t.term} is used with an incorrect domain" .\n\n')
 
     def range_prop_shape(t: VocabTerm, body: str) -> None:
-        prop_shape("CorrectRange",
+        prop_shape(
             "ex:CorrectRangeShape_{i}\n    a sh:NodeShape ;\n"
             f"    sh:targetSubjectsOf <{t.term}>;\n    sh:property [\n"
             f"        sh:path <{t.term}> ;\n{body}    ].\n\n")
@@ -268,7 +270,7 @@ def data_shapes_ttl(
                 t.term_kind == "rdf_property" and t.range_kind == "literal"
                 and t.range != f"{RDFS}Literal"):
             range_prop_shape(t, msg + f" ;\n        sh:datatype <{t.range}>\n")
-            prop_shape("MalformedLiteral",
+            prop_shape(
                 "ex:MalformedLiteralShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n    sh:property [\n"
                 f"        sh:path <{t.term}> ;\n"
@@ -295,11 +297,14 @@ def data_shapes_ttl(
     for t in props:
         if t.term not in used_props:
             continue
-        # misuse/domain/range shapes exclude deprecated terms; the
-        # characteristic shapes below (irreflexive/IFP/functional/
-        # asymmetric) do not (constraints.py:357-401 vs 167-168,404,429)
+        # misuse/domain/range shapes exclude deprecated terms, and so do
+        # the IFP/functional characteristic shapes (constraints.py C23/C24
+        # filter `... and not t.deprecated`); irreflexive/asymmetric do
+        # NOT (constraints.py:433,449) — this emission mirrors the
+        # compiler family by family so the artifact names exactly the
+        # shapes the engine evaluates
         if not t.deprecated and t.term_kind == "object_property":
-            prop_shape("MisuseOwlObjectProperties",
+            prop_shape(
                 "ex:MisuseOwlObjectPropertiesShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n    sh:property [\n"
                 f"        sh:path <{t.term}>;\n"
@@ -308,7 +313,7 @@ def data_shapes_ttl(
                 f'object property {t.term} is being used with Literals"\n'
                 "    ].\n\n")
         elif not t.deprecated and t.term_kind == "datatype_property":
-            prop_shape("MisuseOwlDatatypeProperties",
+            prop_shape(
                 "ex:MisuseOwlDatatypePropertiesShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n    sh:property [\n"
                 f"        sh:path <{t.term}> ;\n"
@@ -321,14 +326,14 @@ def data_shapes_ttl(
         if t.range and not t.deprecated:
             range_shapes(t)
         if t.irreflexive:
-            prop_shape("IrreflexiveProperty",
+            prop_shape(
                 "ex:IrreflexivePropertyShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n"
                 '    sh:message "IrreflexiveProperty_{i} - The irreflexive '
                 f'constraint for the property {t.term} is not enforced " ;\n'
                 f"    sh:disjoint <{t.term}> .\n\n")
-        if t.inverse_functional:
-            prop_shape("InverseFunctionalPropertyUniqueness",
+        if t.inverse_functional and not t.deprecated:
+            prop_shape(
                 "ex:InverseFunctionalPropertyUniquenessShape_{i}\n"
                 "    a sh:NodeShape ;\n"
                 f"    sh:targetObjectsOf <{t.term}> ;\n    sh:property [\n"
@@ -337,8 +342,8 @@ def data_shapes_ttl(
                 '        sh:message "InverseFunctionalPropertyUniqueness_{i}'
                 ' - The uniqueness characteristic of the inverse functional '
                 'property is not enforced" ;\n    ].\n\n')
-        if t.functional:
-            prop_shape("FunctionalProperty",
+        if t.functional and not t.deprecated:
+            prop_shape(
                 "ex:FunctionalPropertyShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n    sh:property [\n"
                 f"        sh:path <{t.term}> ;\n        sh:maxCount 1 ;\n"
@@ -346,7 +351,7 @@ def data_shapes_ttl(
                 f'{t.term} is used with more than one value for the same '
                 'node" ;\n    ].\n\n')
         if t.asymmetric:
-            prop_shape("AsymmetricProperty",
+            prop_shape(
                 "ex:AsymmetricPropertyShape_{i}\n    a sh:NodeShape ;\n"
                 f"    sh:targetSubjectsOf <{t.term}> ;\n    sh:property [\n"
                 f"        sh:path [sh:inversePath <{t.term}>];\n"
@@ -363,7 +368,7 @@ def data_shapes_ttl(
             'classes are being used in the dataset";\n            ];\n'))
     for t in props:
         if t.deprecated:
-            prop_shape("DeprecatedProperties", _or_shape(
+            prop_shape( _or_shape(
                 "DeprecatedPropertiesShape_{i}", tp,
                 f"            sh:path <{t.term}> ;\n"
                 "            sh:maxCount 0;\n"

@@ -213,6 +213,19 @@ class SnapshotTable:
                 {k: v for k, v in tail_layouts.items() if k in dirs}
                 if operation != "overwrite" else {})
             dir_layouts[dirname] = bucket_col
+            # per-dir bucket COUNT rides along like dir_layouts: append
+            # chains may legitimately change counts (read() resolves each
+            # dir with the layout it was written with), but a bucket-
+            # pruned MERGE over mixed counts would compute changed
+            # buckets mod the wrong count and silently miss rows — the
+            # merge path validates each referenced dir against ITS
+            # recorded count, not just the latest snapshot's
+            tail_nb = (tail or {}).get("dir_nbuckets") or {}
+            dir_nbuckets = (
+                {k: v for k, v in tail_nb.items() if k in dirs}
+                if operation != "overwrite" else {})
+            if bucket_col:
+                dir_nbuckets[dirname] = n_buckets
             # appends after a merge_buckets commit must carry the parent's
             # bucket restrictions — otherwise superseded buckets resurface
             tail_buckets = (tail or {}).get("dir_buckets") or {}
@@ -226,6 +239,7 @@ class SnapshotTable:
                 "operation": operation,
                 "dirs": dirs,
                 "dir_layouts": dir_layouts,
+                **({"dir_nbuckets": dir_nbuckets} if dir_nbuckets else {}),
                 **({"dir_buckets": dir_buckets} if dir_buckets else {}),
                 "bucket_col": bucket_col,
                 "n_buckets": n_buckets if bucket_col else None,
@@ -277,11 +291,22 @@ class SnapshotTable:
         changed_set = set(changed)
         if parent:
             layouts = parent.get("dir_layouts") or {}
+            parent_nb = parent.get("dir_nbuckets") or {}
             for d in parent["dirs"]:
                 if layouts.get(d, parent.get("bucket_col")) != bucket_col:
                     raise ValueError(
                         f"commit_merge_buckets needs every parent dir "
                         f"bucketed by {bucket_col!r}; dir {d} is not")
+                # per-dir bucket COUNT too: pruning a 32-bucket dir with
+                # buckets computed mod 16 would silently miss half its
+                # leaves (rows lost from the merge, then masked forever by
+                # the dir_buckets restriction)
+                if parent_nb.get(d, parent.get("n_buckets")) not in (
+                        None, n_buckets):
+                    raise ValueError(
+                        f"dir {d} was written with n_buckets="
+                        f"{parent_nb.get(d, parent.get('n_buckets'))}, "
+                        f"cannot merge with n_buckets={n_buckets}")
             if parent["dirs"] and parent.get("n_buckets") not in (None, n_buckets):
                 raise ValueError(
                     f"bucket count mismatch: parent {parent.get('n_buckets')}"
@@ -289,6 +314,7 @@ class SnapshotTable:
         dirname = self._write_data(df, bucket_col, n_buckets)
         dirs: list[str] = []
         dir_layouts: dict[str, str | None] = {}
+        dir_nbuckets: dict[str, int] = {}
         dir_buckets: dict[str, list[int]] = {}
         if parent:
             parent_buckets = parent.get("dir_buckets") or {}
@@ -301,9 +327,11 @@ class SnapshotTable:
                     continue  # dir fully superseded by this merge
                 dirs.append(d)
                 dir_layouts[d] = bucket_col
+                dir_nbuckets[d] = n_buckets
                 dir_buckets[d] = remaining
         dirs.append(dirname)
         dir_layouts[dirname] = bucket_col
+        dir_nbuckets[dirname] = n_buckets
         dir_buckets[dirname] = changed
         snapshot_id = uuid.uuid4().hex[:16]
         self._append_log_cas(
@@ -315,17 +343,23 @@ class SnapshotTable:
                 "operation": "merge_buckets",
                 "dirs": dirs,
                 "dir_layouts": dir_layouts,
+                "dir_nbuckets": dir_nbuckets,
                 "dir_buckets": dir_buckets,
                 "bucket_col": bucket_col,
                 "n_buckets": n_buckets,
+                # keep the schema-on-every-record invariant (_commit's
+                # docstring): without it, expiring an evolve_schema record
+                # older than this merge would silently drop the evolution
+                "schema": json.dumps(self.schema.jsonValue()),
                 **(extra or {}),
             })
         return snapshot_id
 
     # ---- reads ----------------------------------------------------------
 
-    def _resolve_snapshot(self, snapshot_id: str | None) -> dict | None:
-        snaps = self.snapshots()
+    def _resolve_snapshot(self, snapshot_id: str | None,
+                          snaps: list[dict] | None = None) -> dict | None:
+        snaps = self.snapshots() if snaps is None else snaps
         if snapshot_id is None:
             return snaps[-1] if snaps else None
         snap = next((s for s in snaps if s["snapshot_id"] == snapshot_id), None)
@@ -333,15 +367,17 @@ class SnapshotTable:
             raise KeyError(f"unknown snapshot {snapshot_id!r}")
         return snap
 
-    def _schema_at(self, snap: dict | None) -> StructType:
+    def _schema_at(self, snap: dict | None,
+                   snaps: list[dict] | None = None) -> StructType:
         """The schema in force at ``snap``: the latest ``schema`` carried
         by the log at or before it (evolve_schema records one), falling
         back to the constructor schema — so time travel to a pre-evolution
-        snapshot reads with the columns that existed THEN."""
+        snapshot reads with the columns that existed THEN. Pass ``snaps``
+        to reuse an already-parsed log instead of re-reading the file."""
         if snap is None:
             return self.schema
         found = self.schema
-        for s in self.snapshots():
+        for s in (self.snapshots() if snaps is None else snaps):
             if "schema" in s:
                 found = StructType.fromJson(json.loads(s["schema"]))
             if s["snapshot_id"] == snap["snapshot_id"]:
@@ -419,8 +455,9 @@ class SnapshotTable:
         is driver-side file listing, O(#dirs · #buckets)). Reading the
         `_bucket=k` leaf dirs directly sidesteps Spark's mixed-root
         partition-discovery restriction entirely."""
-        snap = self._resolve_snapshot(snapshot_id)
-        schema = self._schema_at(snap)
+        snaps = self.snapshots()  # parse the log ONCE per read
+        snap = self._resolve_snapshot(snapshot_id, snaps)
+        schema = self._schema_at(snap, snaps)
         if snap is None or not snap["dirs"]:
             return self.spark.createDataFrame([], schema)
         paths = self._resolve_paths(snap)
@@ -433,8 +470,9 @@ class SnapshotTable:
         (unwanted leaf dirs are never listed to Spark), so touching 2 of
         32 buckets scans ~1/16th of the table's files. Unbucketed dirs in
         the chain (if any) are always included for correctness."""
-        snap = self._resolve_snapshot(snapshot_id)
-        schema = self._schema_at(snap)
+        snaps = self.snapshots()  # parse the log ONCE per read
+        snap = self._resolve_snapshot(snapshot_id, snaps)
+        schema = self._schema_at(snap, snaps)
         if snap is None or not snap["dirs"]:
             return self.spark.createDataFrame([], schema)
         paths = self._resolve_paths(snap, buckets={int(b) for b in buckets})
@@ -529,7 +567,11 @@ class SnapshotTable:
             # and run the anti-join before commit_merge_buckets finally
             # rejected the mismatched parent layout — fail before any job
             # runs.
-            if snap is not None and snap.get("bucket_col") != key_col:
+            # same `snap["dirs"]` guard as merge_upsert: a snapshot with
+            # NO data dirs (e.g. evolve_schema before any commit) makes
+            # the delete a no-op, not a layout error
+            if (snap is not None and snap["dirs"]
+                    and snap.get("bucket_col") != key_col):
                 raise ValueError(
                     f"table is bucketed by {snap.get('bucket_col')!r}, "
                     f"cannot delete on {key_col!r} (keyed delete needs the "

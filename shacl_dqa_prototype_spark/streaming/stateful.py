@@ -11,8 +11,11 @@ Two patterns the batch half of the engine doesn't exercise:
   per-user running totals kept in explicit GroupState with a processing-
   time timeout, Arrow-batched (no per-row Python).
 
-Scale notes: both shuffle once on user_id; session_window state is pruned
-by the watermark, and the with-state operator's GroupState is O(#users).
+Scale notes: both shuffle once on user_id; in a continuous deployment
+session_window state is pruned by the watermark the caller passes to
+sessionize_session_window (the in-repo availableNow drains run
+complete-mode without one — their state dies with the drain), and the
+with-state operator's GroupState is O(#users).
 """
 
 from __future__ import annotations
@@ -36,9 +39,20 @@ from pyspark.sql.types import (
 from shacl_dqa_prototype_spark.schemas import EVENTS_SCHEMA
 
 
-def sessionize_session_window(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def sessionize_session_window(events: DataFrame, gap: str = "30 minutes",
+                              watermark: str | None = None) -> DataFrame:
     """Gap-based sessions via the built-in session_window — one shuffle on
-    (user_id, merged-window). Works on batch AND streaming inputs."""
+    (user_id, merged-window). Works on batch AND streaming inputs.
+
+    A CONTINUOUS streaming deployment must pass ``watermark`` (e.g.
+    "1 hour") so closed sessions are evicted from the state store —
+    without it session state grows with every session ever seen. The
+    in-repo availableNow drains deliberately leave it None: they emit in
+    complete mode (a watermark would withhold the final sessions, which
+    sit within the delay of max event time) and their state dies with
+    the drain."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count("*").alias("n_events"),

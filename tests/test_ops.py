@@ -1161,3 +1161,34 @@ def test_pagerank_empty_edges(spark):
 
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty, iterations=3).collect() == []
+
+
+def test_asof_join_reserved_columns_rejected(spark):
+    """asof_join's internal columns would silently clobber caller columns
+    of the same name (review finding) — reserved names are now refused."""
+    from shacl_dqa_prototype_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "v")], ["id", "t", "_m"])
+    right = spark.createDataFrame([(1, 9, 5.0)], ["id", "t", "px"])
+    with pytest.raises(ValueError, match="reserve"):
+        asof_join(left, right, by=["id"], on="t")
+
+
+def test_sessionize_watermark_param_batch_noop(spark):
+    """sessionize_session_window(watermark=...) — the continuous-stream
+    state bound (review finding) — must not change batch results."""
+    import datetime as dt
+
+    from shacl_dqa_prototype_spark.streaming.stateful import (
+        sessionize_session_window,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(7, t0, 1.0), (7, t0 + dt.timedelta(minutes=5), 2.0),
+         (7, t0 + dt.timedelta(hours=2), 3.0)],
+        "user_id long, ts timestamp, value double")
+    base = sorted(tuple(r) for r in sessionize_session_window(ev).collect())
+    wm = sorted(tuple(r) for r in sessionize_session_window(
+        ev, watermark="1 hour").collect())
+    assert base == wm and len(base) == 2

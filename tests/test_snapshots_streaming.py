@@ -957,3 +957,80 @@ def test_streaming_neardup_default_schema_and_no_self_pairs(spark, tmp_path):
     ).awaitTermination(180)
     got = {(r["doc_a"], r["doc_b"]) for r in prs.read().distinct().collect()}
     assert got == set()  # no self-pairs, no cross pairs with 'b'
+
+
+def test_mixed_bucket_counts_rejected(spark, tmp_path):
+    """A bucket-pruned MERGE over a mixed-n_buckets chain must be refused
+    per dir (review finding): computing changed buckets mod 16 over a dir
+    written with 32 silently misses rows in leaves 16..31, then masks
+    them forever via dir_buckets. Mixed-count APPEND chains themselves
+    stay legal and readable (per-dir layout resolution)."""
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([StructField("k", StringType(), False),
+                         StructField("n", IntegerType(), True)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
+    t.commit_append(spark.createDataFrame([("a", 1)], schema),
+                    bucket_col="k", n_buckets=32)
+    # a mixed-count append chain stays READABLE (read resolves each dir
+    # with its own layout — pinned by the mixed-layouts read test), but a
+    # bucket-pruned MERGE over it is rejected per dir
+    t.commit_append(spark.createDataFrame([("d", 4)], schema),
+                    bucket_col="k", n_buckets=16)
+    assert t.read().count() == 2
+    with pytest.raises(ValueError, match="was written with n_buckets"):
+        t.merge_upsert(spark.createDataFrame([("a", 9)], schema), "k",
+                       n_buckets=16)
+
+
+def test_schema_survives_merge_then_expire(spark, tmp_path):
+    """merge_buckets records must carry the in-force schema (review
+    finding): expiring an older evolve_schema record would otherwise
+    silently drop the evolution for a reopened table."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v1 = StructType([StructField("k", StringType(), False),
+                     StructField("n", IntegerType(), True)])
+    v2 = StructType(v1.fields + [StructField("extra", StringType(), True)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), v1)
+    t.commit_overwrite(spark.createDataFrame([("a", 1)], v1),
+                       bucket_col="k", n_buckets=4)
+    t.evolve_schema(v2)
+    t.merge_upsert(spark.createDataFrame([("b", 2, "x")], v2), "k")
+    t.expire_snapshots(keep_last=1)  # drops the evolve_schema record
+    # reopen with the ORIGINAL schema — the kept merge record must still
+    # carry v2
+    t2 = SnapshotTable(spark, str(tmp_path / "tbl"), v1)
+    assert "extra" in t2.read().columns
+    assert {r["k"] for r in t2.read().collect()} == {"a", "b"}
+
+
+def test_merge_delete_empty_dirs_noop(spark, tmp_path):
+    """A snapshot with NO data dirs (evolve_schema before any commit) is
+    a no-op delete, not a layout error (review finding: merge_upsert had
+    the dirs guard, merge_delete did not)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v1 = StructType([StructField("k", StringType(), False),
+                     StructField("n", IntegerType(), True)])
+    v2 = StructType(v1.fields + [StructField("e", StringType(), True)])
+    t = SnapshotTable(spark, str(tmp_path / "tbl"), v1)
+    t.evolve_schema(v2)  # snapshot with dirs=[], bucket_col=None
+    t.merge_delete(spark.createDataFrame([("a",)], ["k"]), "k")
+    assert t.read().count() == 0
