@@ -92,25 +92,28 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     language among the tied ones wins ('und' if no hits). The SQL oracle
     mirrors this exact order, so it is part of the pinned contract."""
     padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    scores = []
+    entries = []
     for lang in sorted(LANG_MARKERS):
         s = F.lit(0)
         for m in LANG_MARKERS[lang]:
             # occurrence count of marker m
             occ = (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / len(m)
             s = s + occ
-        scores.append((lang, s.alias(f"score_{lang}")))
-    out = docs.select(F.col("doc_id"), *[c for (_, c) in scores])
-    best = F.lit("und")
-    best_score = F.lit(0.0)
-    # reverse order + strict '>' ⇒ the FIRST-processed (alphabetically
-    # LAST) language keeps ties — the order the oracle pins
-    for lang in sorted(LANG_MARKERS, reverse=True):
-        c = F.col(f"score_{lang}")
-        cond = c > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, c.cast("double")).otherwise(best_score)
-    return out.select("doc_id", best.alias("lang_pred"))
+        entries.append(F.struct(s.cast("double").alias("s"), F.lit(lang).alias("lang")))
+    # argmax via struct ordering: array_max compares score first, then the
+    # language string — so ties go to the alphabetically LAST language,
+    # exactly the order the SQL oracle pins. A single array_max keeps the
+    # generated code small; the previous 12-deep nested-WHEN chain had
+    # Catalyst inlining every score expression per nesting level, blowing
+    # whole-stage codegen past the JVM's 64 KB method limit (interpreted
+    # fallback, ~10x slower).
+    out = docs.select(F.col("doc_id"), F.array_max(F.array(*entries)).alias("best"))
+    return out.select(
+        "doc_id",
+        F.when(F.col("best.s") > 0.0, F.col("best.lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
 
 
 _FP_MOD = (1 << 61) - 1  # Mersenne prime: x mod M = (x & M) + (x >> 61)
