@@ -111,6 +111,7 @@ def connected_components(
     if n_edges <= driver_threshold:
         rows = _driver_union_find(
             [(r["src"], r["dst"]) for r in cur.collect()])
+        cur.unpersist()  # collected; the checkpoint blocks are dead weight
         return spark.createDataFrame(rows, "node string, component string")
     prev_sig = None
     converged = False
@@ -125,7 +126,12 @@ def connected_components(
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h1"),
             F.sum(F.xxhash64("dst", "src", F.lit(7)).cast("decimal(38,0)")).alias("h2"),
         )
+        prev = cur
         cur = after.localCheckpoint(eager=True)  # one action per round
+        # the new checkpoint is materialized (eager), so the previous
+        # round's edge-set blocks are unreachable — release them instead of
+        # letting up to max_iter edge-set copies pile up in storage memory
+        prev.unpersist()
         m = obs.get
         cur_sig = (m["n"], m["h1"], m["h2"])
         if cur_sig == prev_sig:
