@@ -114,8 +114,22 @@ SWEEP = [
     "dedup_dup_ngram_fraction", "events_asof_join", "events_rolling_1h",
     "pipe_mixture_plan", "dedup_keep_best",
     "pipe_chunk_documents", "text_bm25", "kg_triangle_count", "pipe_curate",
-    "events_interval_join", "events_cube", "events_pivot",
+    "events_interval_join", "events_cube", "events_pivot", "text_langid",
 ]
+
+
+def test_langid_plan_stays_codegen_sized(spark, contract):
+    """Lock in the array_max argmax (r5): the original 12-deep nested-WHEN
+    chain had Catalyst inlining every marker-score expression per nesting
+    level — the generated processNext() blew past the JVM's 64 KB method
+    limit and the whole projection fell back to interpreted evaluation
+    (ERROR CodeGenerator in the sf0.1 gate log, ~10x slower). The blown-up
+    plan's projection printed >100 CASE WHENs and megabytes of text; the
+    struct-argmax plan is a few KB with exactly one array_max."""
+    s = _explain(spark, contract["text_langid"](spark, SF))
+    assert "array_max" in s
+    assert len(s) < 50_000, f"langid plan exploded to {len(s)} chars"
+    assert s.count("CASE WHEN") < 10
 
 
 def test_interval_join_is_equi_not_nested_loop(spark, contract):
