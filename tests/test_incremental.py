@@ -4,6 +4,8 @@ state-derivable family — and never rescan old triples."""
 
 from __future__ import annotations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 import __spark_entry__ as core
@@ -260,3 +262,94 @@ def test_apply_delta_dedups_within_delta(spark, tmp_path):
     assert prof["scalars"].first()["num_triples"] == 1
     v = violations_from_state(state, terms, cfg)
     assert v.filter(v.metric.contains("Functional")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Randomized parity: for ARBITRARY small triple sets and ARBITRARY splits
+# into 1-3 deltas, the incremental state must reproduce the batch
+# compiler's violations exactly. The fixed-corpus tests above pin the real
+# entry fixture; this one walks the semantic corners hypothesis finds
+# (mutual follows pairs, re-typed subjects across deltas, exempt types
+# landing in a later delta than the violation they retract, ill-formed
+# date literals, bnodes) that a hand-written fixture may miss.
+# ---------------------------------------------------------------------------
+
+_h_subj = st.sampled_from(
+    [f"urn:s:{i}" for i in range(4)] + ["_:b0", "urn:e#h1"])
+_h_ent = st.sampled_from(
+    [f"urn:s:{i}" for i in range(4)] + ["urn:o:1", "urn:o:2"])
+_h_cls = st.sampled_from([
+    "urn:c:Customer", "urn:c:Supplier", "urn:c:PreferredCustomer",
+    "urn:c:Order", "urn:c:Unknown",
+    "http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement",   # prolix
+    "http://www.w3.org/2002/07/owl#NamedIndividual",          # exempt
+])
+_h_oprop = st.sampled_from([
+    "urn:p:hasCustomer",    # class range → retractable anti-join tier
+    "urn:p:hasSupplier",    # functional
+    "urn:p:inNation",       # inverse-functional
+    "urn:p:follows",        # asymmetric
+    "urn:p:refs",           # irreflexive (monotone tier)
+    "urn:p:partOf",
+    core.ENTRY_CFG.interlinking_property,
+])
+_h_row = st.one_of(
+    st.tuples(_h_subj, st.just(core.ENTRY_CFG.type_property), _h_cls,
+              st.just("iri"), st.none(), st.none()),
+    st.tuples(_h_subj, _h_oprop, _h_ent,
+              st.just("iri"), st.none(), st.none()),
+    st.tuples(_h_subj, st.just(core.ENTRY_CFG.labeling_property),
+              st.sampled_from(["A", "B"]), st.just("literal"),
+              st.none(), st.sampled_from([None, "en"])),
+    st.tuples(_h_subj, st.just(core.ENTRY_CFG.description_property),
+              st.sampled_from(["d1", "d2"]), st.just("literal"),
+              st.none(), st.sampled_from([None, "en"])),
+    st.tuples(_h_subj, st.just("urn:p:orderedOn"),
+              st.sampled_from(["2024-01-02", "not-a-date", "2024-1-2"]),
+              st.just("literal"),
+              st.just("http://www.w3.org/2001/XMLSchema#date"), st.none()),
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_incremental_matches_batch_on_random_splits(spark, data):
+    import shutil
+    import tempfile
+
+    rows = sorted({r for r in data.draw(
+        st.lists(_h_row, min_size=1, max_size=22))},
+        key=lambda r: tuple(x or "" for x in r))
+    k = data.draw(st.integers(min_value=1, max_value=3))
+    assign = data.draw(st.lists(
+        st.integers(min_value=0, max_value=k - 1),
+        min_size=len(rows), max_size=len(rows)))
+
+    T = spark.createDataFrame(
+        rows, "s string, p string, o string, o_kind string, "
+              "o_dtype string, o_lang string")
+    batch_plan = compile_data_constraints(
+        T, core.ENTRY_VOCAB, core.ENTRY_DISJOINT, core.ENTRY_CFG)
+
+    def _vset(df):
+        return {(r["metric"], r["item"], r["focus"]) for r in
+                df.filter(F.col("metric").isin(DERIVABLE))
+                .select("metric", "item", "focus").distinct().collect()}
+
+    state_dir = tempfile.mkdtemp(prefix="incr_prop_")
+    try:
+        state = IncrementalDQAState.open(spark, state_dir)
+        for d in range(k):
+            delta_rows = [r for r, a in zip(rows, assign) if a == d]
+            delta = spark.createDataFrame(delta_rows or [], T.schema)
+            apply_delta(state, delta, core.ENTRY_CFG, core.ENTRY_VOCAB,
+                        n_buckets=4, delta_id=f"d{d}")
+        inc_v = violations_from_state(
+            state, core.ENTRY_VOCAB, core.ENTRY_CFG,
+            disjoint_pairs=core.ENTRY_DISJOINT)
+        assert _vset(inc_v) == _vset(batch_plan.violations), (rows, assign)
+        n_inc = profile_from_state(state)["scalars"].first()["num_triples"]
+        assert (n_inc or 0) == len(rows), (rows, assign)
+    finally:
+        batch_plan.unpersist()
+        shutil.rmtree(state_dir, ignore_errors=True)
