@@ -567,14 +567,24 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.split(F.trim(t), r"\s+")).alias("w"))
     d = d.withColumn("n", F.size("w")).withColumn("sw", F.array_sort("w"))
     # words appearing exactly once = positions in the sorted array that
-    # differ from both neighbours; dup occurrences = n - singles
+    # differ from both neighbours; dup occurrences = n - singles.
+    # Iterate the ARRAY with an index-aware lambda, never sequence(0, n-1):
+    # Spark's sequence is DESCENDING when start > stop, so n = 0 yields
+    # [0, -1] and the lambda indexes an empty array — and the guard
+    # `when(n > 0, …)` does NOT protect it, because codegen subexpression
+    # elimination hoists a SHARED subexpression out of its CASE branch
+    # (quality_gate crashed exactly this way on empty docs). filter over
+    # sw is total: empty array ⇒ lambda never runs; the ORs keep the
+    # neighbour accesses in bounds.
     d = d.withColumn("n_single", F.expr(
-        "size(filter(sequence(0, n - 1), i -> "
-        "(i = 0 OR sw[i] != sw[i-1]) AND (i = n - 1 OR sw[i] != sw[i+1])))"))
-    # longest run in the sorted bigram list = max bigram multiplicity
+        "size(filter(sw, (x, i) -> "
+        "(i = 0 OR x != sw[i-1]) AND (i = n - 1 OR x != sw[i+1])))"))
+    # longest run in the sorted bigram list = max bigram multiplicity;
+    # same total-function discipline: iterate the tail slice (empty for
+    # n <= 1) instead of sequence(1, n - 1) (= [1, 0] for n = 1)
     d = d.withColumn("bg", F.expr(
-        "array_sort(transform(sequence(1, n - 1), i -> "
-        "concat(w[i-1], ' ', w[i])))"))
+        "array_sort(transform(slice(w, 2, greatest(n - 1, 0)), "
+        "(x, i) -> concat(w[i], ' ', x)))"))
     d = d.withColumn("top_bg", F.expr(
         "aggregate(bg, struct(cast(null as string) as prev, "
         "0L as run, 0L as best), "
@@ -704,9 +714,14 @@ def quality_gate(
         F.when(F.length(F.trim(t)) == 0, F.array().cast("array<string>"))
         .otherwise(F.split(F.trim(t), r"\s+")).alias("w"))
     d = d.withColumn("n", F.size("w")).withColumn("sw", F.array_sort("w"))
+    # index-aware filter over the array itself, NOT sequence(0, n - 1):
+    # sequence is descending for n = 0 ([0, -1]) and this subexpression is
+    # SHARED (keep + reasons), so codegen subexpression elimination
+    # evaluated it outside its when(n > 0) guard — empty docs crashed with
+    # INVALID_ARRAY_INDEX (caught by the quality-gate property test)
     d = d.withColumn("n_single", F.expr(
-        "size(filter(sequence(0, n - 1), i -> "
-        "(i = 0 OR sw[i] != sw[i-1]) AND (i = n - 1 OR sw[i] != sw[i+1])))"))
+        "size(filter(sw, (x, i) -> "
+        "(i = 0 OR x != sw[i-1]) AND (i = n - 1 OR x != sw[i+1])))"))
     n = F.col("n")
     nd = n.cast("double")
     # mean word length over the document's non-whitespace characters
