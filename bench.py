@@ -8,7 +8,8 @@ Prints ONE JSON line:
 The headline metric is end-to-end wall time over the query suite; the
 `construction` block reports KG-construction throughput (triples/sec) on a
 synthesized interleaved corpus, and `scaling` evidences the N→4N criterion
-by running the same construction job at local[8] and local[32]
+by running the same end-to-end job at two parallelism levels — local[2]
+vs local[8]; see the rationale at the `do_scaling` block
 (BASELINE.json north_rule; see BASELINE.md).
 
 Run `python bench.py --scaling` to include the (slower) two-parallelism
