@@ -47,7 +47,12 @@ from shacl_dqa_prototype_spark.plans.constraints import (
     compile_data_constraints,
 )
 from shacl_dqa_prototype_spark.plans.dqa import run_data_dqa, run_metadata_dqa
-from shacl_dqa_prototype_spark.plans.profile import infer_namespace, profile_graph
+from shacl_dqa_prototype_spark.plans.profile import (
+    degree_distribution,
+    infer_namespace,
+    literal_datatypes,
+    profile_graph,
+)
 from shacl_dqa_prototype_spark.plans.vocab import tbox_merge_rows
 from shacl_dqa_prototype_spark.plans.vocab_shapes import (
     compile_vocab_constraints,
@@ -415,6 +420,12 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ns = infer_namespace(_t2(spark, sf_dir))
         return spark.createDataFrame([(ns,)], "ns string")
     q["profile_namespace"] = namespace
+
+    q["profile_literal_datatypes"] = (
+        lambda s, d: literal_datatypes(_t2(s, d)))
+
+    q["profile_degree_distribution"] = (
+        lambda s, d: degree_distribution(_t2(s, d)))
 
     # --- B11 TBox merge ----------------------------------------------------
     def tbox_merge(spark, sf_dir):
@@ -1541,6 +1552,36 @@ def ext_oracles() -> dict[str, str]:
       WHERE ns <> ''
     )
     SELECT ns FROM ns GROUP BY ns ORDER BY count(*) DESC, ns LIMIT 1"""
+
+    o["profile_literal_datatypes"] = f"""
+    WITH triples2 AS ({TRIPLES2_SQL})
+    SELECT coalesce(
+             o_dtype,
+             CASE WHEN o_lang IS NOT NULL
+                  THEN 'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString'
+             END,
+             'http://www.w3.org/2001/XMLSchema#string') AS datatype,
+           count(*) AS num_literals,
+           count(DISTINCT p) AS num_properties
+    FROM triples2 WHERE o_kind = 'literal'
+    GROUP BY datatype"""
+
+    # bucket via integer bit length (len(bin(d))-1), NOT floor(log2(d)) —
+    # exact in both engines at powers of two where float log2 can straddle
+    o["profile_degree_distribution"] = f"""
+    WITH triples2 AS ({TRIPLES2_SQL}),
+    nodes AS (
+      SELECT s AS node, 1 AS od, 0 AS id_ FROM triples2
+      UNION ALL
+      SELECT o, 0, 1 FROM triples2 WHERE o_kind = 'iri'),
+    deg AS (
+      SELECT node, CAST(sum(od) + sum(id_) AS BIGINT) AS degree
+      FROM nodes GROUP BY node)
+    SELECT CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+           count(*) AS n_nodes,
+           min(degree) AS min_degree,
+           max(degree) AS max_degree
+    FROM deg GROUP BY bucket"""
 
     # B11 golden merge output (hand-verified against utils.py:684-795
     # semantics: whitelist predicates, excluded subjects, derived typing).

@@ -108,6 +108,66 @@ def infer_namespace(T: DataFrame) -> str:
     return row["ns"] if row else ""
 
 
+def literal_datatypes(T: DataFrame) -> DataFrame:
+    """Per-datatype literal histogram — a profile extension over the
+    reference's per-property tables (utils.py:62-135 counts per property;
+    this cuts the same scan by the EFFECTIVE datatype instead): explicit
+    ``o_dtype`` when present, else ``rdf:langString`` for lang-tagged
+    literals, else ``xsd:string`` (RDF 1.1 simple-literal semantics).
+    Reports triples and distinct carrying properties per datatype — the
+    table a deployment reads before deciding which MalformedLiteral /
+    CorrectRange(datatype) checks are worth enabling.
+
+    Scale shape: one scan with the filter pushed to the store → one
+    groupBy(datatype) with map-side partial aggregation; output is
+    O(#datatypes) rows (bounded by the vocabulary, not the data)."""
+    from shacl_dqa_prototype_spark.functions.terms import RDF_LANGSTRING, XSD
+
+    effective = F.coalesce(
+        F.col("o_dtype"),
+        F.when(F.col("o_lang").isNotNull(), F.lit(RDF_LANGSTRING)),
+        F.lit(f"{XSD}string"),
+    )
+    return (
+        T.filter(F.col("o_kind") == "literal")
+        .groupBy(effective.alias("datatype"))
+        .agg(F.count("*").cast("long").alias("num_literals"),
+             F.countDistinct("p").alias("num_properties"))
+    )
+
+
+def degree_distribution(T: DataFrame) -> DataFrame:
+    """Log2-bucketed histogram of total node degree (out = triples as
+    subject, in = triples as IRI object) — the skew diagnostic read
+    BEFORE picking mitigations: a heavy tail here is what makes the
+    `degree_topk` hot list worth salting on (operators/link.py E4).
+
+    ``bucket`` is the exact bit length of the degree minus one
+    (len(bin(degree)) - 1 == floor(log2(degree)) for integers, computed
+    WITHOUT floating-point log so engines can't disagree at exact powers
+    of two); ``min_degree``/``max_degree`` bound each bucket.
+
+    Scale shape: one union scan → one groupBy(node) shuffle with
+    map-side partials → a second, tiny groupBy(bucket) over O(#nodes)
+    rows collapsing to O(log(max_degree)) rows."""
+    nodes = T.select(
+        F.col("s").alias("node"), F.lit(1).alias("od"), F.lit(0).alias("id_"),
+    ).unionByName(
+        T.filter(F.col("o_kind") == "iri").select(
+            F.col("o").alias("node"), F.lit(0).alias("od"),
+            F.lit(1).alias("id_"))
+    )
+    deg = nodes.groupBy("node").agg(
+        (F.sum("od") + F.sum("id_")).cast("long").alias("degree"))
+    bucket = (F.length(F.bin(F.col("degree"))) - 1).cast("long")
+    return (
+        deg.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_nodes"),
+             F.min("degree").alias("min_degree"),
+             F.max("degree").alias("max_degree"))
+    )
+
+
 def degree_topk(T: DataFrame, k: int = 20) -> DataFrame:
     """Top-k graph nodes by degree (out = triples as subject, in = triples
     as IRI object), ties broken by node id — the connectivity profile a KG

@@ -686,6 +686,50 @@ def test_infer_namespace_hash_first(spark):
     assert infer_namespace(T) == "http://ex.org/vocab#"
 
 
+def test_literal_datatypes_effective_dtype(spark):
+    """RDF 1.1 effective-datatype routing: explicit dtype wins, lang tag
+    means rdf:langString, bare literal means xsd:string; IRIs excluded."""
+    from shacl_dqa_prototype_spark.functions.terms import RDF_LANGSTRING, XSD
+    from shacl_dqa_prototype_spark.plans.profile import literal_datatypes
+
+    xsd_date = f"{XSD}date"
+    T = spark.createDataFrame(
+        [("s1", "p1", "2020-01-01", "literal", xsd_date, None),
+         ("s2", "p2", "2020-01-02", "literal", xsd_date, None),
+         ("s3", "p1", "hello", "literal", None, "en"),
+         ("s4", "p3", "plain", "literal", None, None),
+         ("s5", "p4", "urn:x", "iri", None, None)],
+        "s string, p string, o string, o_kind string, "
+        "o_dtype string, o_lang string")
+    got = {r["datatype"]: (r["num_literals"], r["num_properties"])
+           for r in literal_datatypes(T).collect()}
+    assert got == {xsd_date: (2, 2),
+                   RDF_LANGSTRING: (1, 1),
+                   f"{XSD}string": (1, 1)}
+
+
+def test_degree_distribution_exact_buckets(spark):
+    """Bit-length bucketing: degree d lands in bucket floor(log2(d)),
+    exact at powers of two (no float log); literal objects add no
+    in-degree."""
+    from shacl_dqa_prototype_spark.plans.profile import degree_distribution
+
+    # hub: subject of 4 triples -> degree 4 (bucket 2)
+    # leaf objects o0..o3: in-degree 1 (bucket 0)
+    # s2: subject of 2 triples + object of 1 -> degree 3 (bucket 1)
+    rows = [("hub", "p", f"o{i}", "iri", None, None) for i in range(3)]
+    rows += [("hub", "p", "s2", "iri", None, None)]
+    rows += [("s2", "p", "lit", "literal", None, None),
+             ("s2", "p2", "o0", "iri", None, None)]
+    T = spark.createDataFrame(
+        rows, "s string, p string, o string, o_kind string, "
+              "o_dtype string, o_lang string")
+    got = {r["bucket"]: (r["n_nodes"], r["min_degree"], r["max_degree"])
+           for r in degree_distribution(T).collect()}
+    # degrees: hub=4; s2=2+1=3; o0=2; o1,o2=1
+    assert got == {2: (1, 4, 4), 1: (2, 2, 3), 0: (2, 1, 1)}
+
+
 def test_read_rdf_nt_vocab_rows(spark, tmp_path):
     """An .nt vocabulary must yield the driver row list — need_rows was
     ignored on the nt branch, so mine_vocab ran on [] and the whole vocab

@@ -101,6 +101,7 @@ def test_constraint_compiler_is_fused(spark):
 # sweep stays under ~2 min of plan-building.
 SWEEP = [
     "profile_scalars", "profile_entities_per_class", "profile_degree_topk",
+    "profile_literal_datatypes", "profile_degree_distribution",
     "shape_functional_property", "shape_correct_range_class",
     "shape2_misplaced_props", "dqa_scores", "dqa2_meta_rollup",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_neardup",
