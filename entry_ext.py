@@ -818,6 +818,20 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dup_ngram_fraction(_docs_flat(spark, sf_dir), n=8)
     q["dedup_dup_ngram_fraction"] = dedup_dupfrac
 
+    def dedup_novelty(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
+
+        return ngram_novelty(_docs_flat(spark, sf_dir), n=8)
+    q["dedup_ngram_novelty"] = dedup_novelty
+
+    def text_lm(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import (
+            unigram_logprob,
+        )
+
+        return unigram_logprob(_docs_flat(spark, sf_dir))
+    q["text_unigram_logprob"] = text_lm
+
     def events_asof(spark, sf_dir):
         from pyspark.sql import Window as W
 
@@ -844,6 +858,30 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_r"),
             "event_id_r", "value_r")
     q["events_asof_join"] = events_asof
+
+    def events_asof_near(spark, sf_dir):
+        from pyspark.sql import Window as W
+
+        from shacl_dqa_prototype_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        clicks = ev.filter("event_type = 'click'").select(
+            "event_id", "user_id", "ts", "value")
+        views = ev.filter("event_type = 'view'").select(
+            "event_id", "user_id", "ts", "value")
+        w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+        vd = (views.withColumn("rn", F.row_number().over(w))
+              .filter("rn = 1").drop("rn"))
+        out = asof_join(clicks, vd, on="ts", by=("user_id",),
+                        right_cols=("event_id", "value"),
+                        direction="nearest")
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "value",
+            F.date_format("ts_r", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_r"),
+            "event_id_r", "value_r")
+    q["events_asof_nearest"] = events_asof_near
 
     def kg_khop(spark, sf_dir):
         import __spark_entry__ as core
@@ -1987,6 +2025,54 @@ def ext_oracles() -> dict[str, str]:
                 ELSE 0.0 END AS dup_frac
     FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dup USING (doc_id)"""
 
+    # n-gram novelty: first-occurrence attribution by min(doc_id); the
+    # Spark side collapses within-doc repeats map-side (array_distinct),
+    # the oracle via SELECT DISTINCT — two routes to the same set
+    o["dedup_ngram_novelty"] = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents),
+    pos AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)
+      WHERE len(t) >= 8),
+    fs AS (SELECT shingle, min(doc_id) AS first_doc FROM pos GROUP BY 1),
+    per AS (
+      SELECT p.doc_id,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(SUM(CASE WHEN p.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS novel
+      FROM pos p JOIN fs f USING (shingle) GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(n_distinct, 0) AS n_distinct,
+           COALESCE(novel, 0) AS novel,
+           CASE WHEN COALESCE(n_distinct, 0) > 0
+                THEN round(COALESCE(novel, 0) * 1.0 / n_distinct, 6)
+                ELSE 0.0 END AS novel_frac
+    FROM documents d LEFT JOIN per USING (doc_id)"""
+
+    # corpus unigram LM score: counts stay exact integers in both engines
+    # until the final log2/divide, rounded to 6 decimals
+    o["text_unigram_logprob"] = r"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS token
+        FROM documents WHERE length(trim(text)) > 0)
+      WHERE length(token) > 0),
+    dt AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    gc AS (SELECT token, SUM(tf) AS c_tok FROM dt GROUP BY 1),
+    tot AS (SELECT SUM(tf) AS c_all FROM dt),
+    per AS (
+      SELECT dt.doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             round(SUM(tf * log2(c_tok * 1.0 / c_all)) / SUM(tf), 6)
+               AS avg_logprob
+      FROM dt JOIN gc USING (token) CROSS JOIN tot GROUP BY 1)
+    SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, avg_logprob
+    FROM documents d LEFT JOIN per USING (doc_id)"""
+
     # as-of join: the Spark side is UNION + last(ignorenulls) window; the
     # oracle is DuckDB's NATIVE ASOF JOIN — two independent formulations
     # of the same semantics (right side deduped per (user, ts) by max
@@ -2007,6 +2093,41 @@ def ext_oracles() -> dict[str, str]:
            r.event_id AS event_id_r, r.value AS value_r
     FROM l ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+    # nearest as-of: the oracle composes DuckDB's native backward and
+    # forward ASOF joins and picks the closer match, ties -> backward
+    # (pandas merge_asof semantics, property-tested on the Spark side)
+    o["events_asof_nearest"] = """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click'),
+    r0 AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'view'),
+    r AS (SELECT user_id, ts, event_id, value FROM r0 WHERE rn = 1),
+    b AS (
+      SELECT l.event_id, r.ts AS bts, r.event_id AS bid, r.value AS bv
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts >= r.ts),
+    f AS (
+      SELECT l.event_id, r.ts AS fts, r.event_id AS fid, r.value AS fv
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.ts <= r.ts),
+    pick AS (
+      SELECT l.event_id, l.user_id, l.ts, l.value,
+             CASE WHEN fts IS NULL THEN TRUE
+                  WHEN bts IS NULL THEN FALSE
+                  ELSE (l.ts - bts) <= (fts - l.ts) END AS back
+      FROM l JOIN b USING (event_id) JOIN f USING (event_id))
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, p.value,
+           strftime(CASE WHEN back THEN bts ELSE fts END,
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_r,
+           CASE WHEN back THEN bid ELSE fid END AS event_id_r,
+           CASE WHEN back THEN bv ELSE fv END AS value_r
+    FROM pick p JOIN b USING (event_id) JOIN f USING (event_id)"""
 
     # k-hop reachability: the Spark side is layer-synchronous BFS with
     # anti-joins; the oracle unrolls the k=3 expansion and lets min()

@@ -1,7 +1,8 @@
 """As-of (nearest-key temporal) join — the time-series primitive Spark
 lacks natively: for every left row, the latest right row with the same
 keys and ``on``-value ≤ the left's (direction='backward'; 'forward' takes
-the earliest ≥).
+the earliest ≥; 'nearest' the closer of the two, ties → backward, pandas
+merge_asof semantics).
 
 Spark-first shape: the join is expressed as UNION + one window pass —
 tag both inputs, sort each key partition by (on, side), and carry the
@@ -39,9 +40,10 @@ def asof_join(
     ``F.expr("INTERVAL 1 HOUR")``) voids matches farther than the
     tolerance from the left row, mirroring pandas merge_asof.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
-    reserved = {"_r", "_is_l", "_m"} & (set(left.columns) | set(right.columns))
+    reserved = {"_r", "_is_l", "_m", "_mb", "_mf", "_mb2", "_mf2"} & (
+        set(left.columns) | set(right.columns))
     if reserved:
         # withColumn would silently OVERWRITE a caller column of the same
         # name and the internal drop would then remove it from the output
@@ -68,22 +70,46 @@ def asof_join(
     )
     u = l_tag.unionByName(r_tag)
 
-    if direction == "backward":
-        # right sorts before left at equal `on` (0 < 1): a reference AT
-        # the query timestamp is visible to it
-        w = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("_is_l").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
+    # right sorts before left at equal `on` (0 < 1): a reference AT the
+    # query timestamp is visible to it — in BOTH directions, so an exact
+    # hit wins outright under 'nearest' too
+    wb = (Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("_is_l").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("_is_l").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+
+    def _void_far(m, d):
+        # tolerance: NULL the match when it sits farther than the
+        # tolerance from the left row, mirroring pandas merge_asof
+        if tolerance_expr is None:
+            return F.col(m)
+        lo, hi = ((F.col(f"{m}.{on}{suffix}"), F.col(on)) if d == "backward"
+                  else (F.col(on), F.col(f"{m}.{on}{suffix}")))
+        return F.when(hi <= lo + tolerance_expr, F.col(m))
+
+    if direction == "nearest":
+        # one exchange (same partition keys), two in-partition sorts; the
+        # closer candidate wins, ties -> backward (pandas semantics)
+        matched = (u.withColumn("_mb", F.last("_r", ignorenulls=True).over(wb))
+                   .withColumn("_mf", F.last("_r", ignorenulls=True).over(wf)))
+        out = matched.filter(F.col("_is_l") == 1).drop("_r", "_is_l")
+        b = _void_far("_mb", "backward")
+        f = _void_far("_mf", "forward")
+        out = (out.withColumn("_mb2", b).withColumn("_mf2", f)
+               .withColumn(
+                   "_m",
+                   F.when(F.col("_mb2").isNull(), F.col("_mf2"))
+                   .when(F.col("_mf2").isNull(), F.col("_mb2"))
+                   .when(F.col(on) - F.col(f"_mb2.{on}{suffix}")
+                         <= F.col(f"_mf2.{on}{suffix}") - F.col(on),
+                         F.col("_mb2"))
+                   .otherwise(F.col("_mf2")))
+               .drop("_mb", "_mf", "_mb2", "_mf2"))
     else:
-        w = (Window.partitionBy(*by).orderBy(F.col(on).desc(), F.col("_is_l").asc())
-             .rowsBetween(Window.unboundedPreceding, 0))
-    matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-    out = matched.filter(F.col("_is_l") == 1).drop("_r", "_is_l")
-    if tolerance_expr is not None:
-        lo, hi = ((F.col(f"_m.{on}{suffix}"), F.col(on))
-                  if direction == "backward"
-                  else (F.col(on), F.col(f"_m.{on}{suffix}")))
-        out = out.withColumn(
-            "_m", F.when(hi <= lo + tolerance_expr, F.col("_m")))
+        w = wb if direction == "backward" else wf
+        matched = u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        out = matched.filter(F.col("_is_l") == 1).drop("_r", "_is_l")
+        out = out.withColumn("_m", _void_far("_m", direction))
     return out.select(
         *[F.col(c) for c in left.columns],
         F.col(f"_m.{on}{suffix}").alias(f"{on}{suffix}"),

@@ -444,6 +444,77 @@ def dup_ngram_fraction(
     )
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY given a corpus order: the share of a
+    document's DISTINCT n-grams whose FIRST occurrence (by ascending
+    ``id_col``, the column's natural ordering) is this document. The
+    complement of dup_ngram_fraction's symmetric view — this one
+    attributes each shared n-gram to its earliest carrier, the signal a
+    curation pass reads to decide which docs still add content once the
+    corpus already holds their predecessors (dedup-ordering / data-aging
+    analyses run exactly this cut).
+
+    Emits ``(doc_id, n_distinct, novel, novel_frac)`` for every doc
+    (docs shorter than n tokens have 0 distinct n-grams and
+    novel_frac 0.0); novel_frac is rounded to 6 decimals.
+
+    Scale shape: same discipline as dup_ngram_fraction but one exchange
+    CHEAPER — within-doc repeats collapse MAP-SIDE (array_distinct on the
+    shingle array before the explode), so no (doc_id, shingle) pre-
+    aggregation shuffle exists at all:
+      1. first-seen owner is a min(doc_id) WINDOW partitioned by shingle
+         over the per-doc-distinct rows (one exchange, no agg+join-back),
+      2. groupBy(doc_id) folds distinct/novel counts per doc,
+      3. a left join back to the id spine re-admits too-short docs.
+    Shingle keys should be ``_hash60``-ed at 100 TB to shrink the
+    exchange; the contract entry keeps raw strings so the SQL oracle
+    re-derives them verbatim."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), TOKEN_RX).alias("toks"),
+    )
+    pos = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                )),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+    w = Window.partitionBy("shingle")
+    per_doc = (
+        pos.withColumn("first_doc", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1)
+                  .otherwise(0)).cast("long").alias("novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            F.coalesce("novel", F.lit(0)).alias("novel"),
+            F.when(F.coalesce("n_distinct", F.lit(0)) > 0,
+                   F.round(F.coalesce("novel", F.lit(0))
+                           / F.col("n_distinct").cast("double"), 6))
+            .otherwise(0.0).alias("novel_frac"),
+        )
+    )
+
+
 def keep_best_per_cluster(
     clusters: DataFrame,
     quality: DataFrame,

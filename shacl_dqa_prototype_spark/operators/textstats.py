@@ -862,3 +862,59 @@ def source_token_divergence(
              F.round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"))
         .select(F.col("src").alias(group_col), "n_tokens", "kl_divergence")
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram language-model score per document: the mean
+    log2-probability of the document's token stream under the corpus's
+    own unigram MLE — the SQL-expressible analog of CCNet's KenLM
+    perplexity filter. Documents far below the corpus mean are
+    vocabulary-atypical (boilerplate, wrong language, encoding damage);
+    far above means repetitive high-frequency filler. No smoothing is
+    needed: the model is trained on the same corpus it scores, so every
+    scored token has count >= 1.
+
+    Emits ``(doc_id, n_tokens, avg_logprob)`` for every doc;
+    ``avg_logprob`` is sum(tf * log2(c_token / c_total)) / n_tokens
+    rounded to 6 decimals, NULL for empty docs.
+
+    Scale shape: three bounded shuffles, no second pass over the text —
+      1. groupBy(doc_id, token) collapses the exploded stream to per-doc
+         term frequencies with map-side partials,
+      2. the corpus count per token is a window sum partitioned BY TOKEN
+         over that (much smaller) aggregate — the frequency-join
+         expressed as one exchange (same discipline as
+         source_token_divergence); the corpus TOTAL is a 1-row aggregate
+         broadcast back, never a global window over data-sized rows,
+      3. groupBy(doc_id) folds the weighted log-probs.
+    Counts stay exact integers until the final division/log."""
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = (
+        docs.filter(F.length(t) > 0)
+        .select(F.col("doc_id"), F.explode(F.split(t, r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    dt = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dt = dt.withColumn(
+        "c_tok", F.sum("tf").over(Window.partitionBy("token")))
+    total = dt.groupBy().agg(F.sum("tf").alias("c_all"))
+    per_doc = (
+        dt.crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf")
+                      * F.log2(F.col("c_tok") / F.col("c_all")))
+                / F.sum("tf"), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "avg_logprob",
+        )
+    )

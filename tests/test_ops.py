@@ -609,6 +609,89 @@ def test_asof_join_backward_forward_tolerance(spark):
     assert tol[2]["rid_r"] is None   # distance 5 > 4 voided
 
 
+def test_asof_join_nearest(spark):
+    """'nearest' picks the closer side, ties -> backward (pandas
+    merge_asof semantics); tolerance voids each side independently."""
+    from shacl_dqa_prototype_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 20.0), (3, "u", 35.0), (4, "u", 5.0),
+         (5, "v", 1.0)],
+        ["id", "k", "t"])
+    right = spark.createDataFrame(
+        [(10, "u", 8.0, "a"), (11, "u", 21.0, "b"), (12, "u", 50.0, "c")],
+        ["rid", "k", "t", "tag"])
+    got = {r["id"]: r for r in asof_join(
+        left, right, on="t", by=("k",), right_cols=("rid", "tag"),
+        direction="nearest").collect()}
+    assert got[1]["tag_r"] == "a"    # |10-8|=2 < |21-10|=11
+    assert got[2]["tag_r"] == "b"    # |20-21|=1 < |20-8|=12
+    assert got[3]["tag_r"] == "b"    # |35-21|=14 < |50-35|=15
+    assert got[4]["tag_r"] == "a"    # no backward row; forward wins
+    assert got[5]["rid_r"] is None   # no right rows for key v
+    # equidistant: 8 and 12 around 10 -> backward wins the tie
+    r2 = spark.createDataFrame(
+        [(20, "u", 12.0, "f")], ["rid", "k", "t", "tag"])
+    tie = {r["id"]: r for r in asof_join(
+        left.filter("id = 1"), right.unionByName(r2),
+        on="t", by=("k",), right_cols=("rid", "tag"),
+        direction="nearest").collect()}
+    assert tie[1]["tag_r"] == "a"
+    # tolerance voids the near-but-not-near-enough side independently
+    tol = {r["id"]: r for r in asof_join(
+        left, right, on="t", by=("k",), right_cols=("rid", "tag"),
+        direction="nearest", tolerance_expr=F.lit(1.5)).collect()}
+    assert tol[2]["tag_r"] == "b"    # distance 1 <= 1.5
+    assert tol[1]["rid_r"] is None and tol[3]["rid_r"] is None
+
+
+def test_ngram_novelty_first_occurrence(spark):
+    """Novelty attributes each distinct n-gram to its min-doc_id carrier;
+    too-short docs emit (0, 0, 0.0) rows."""
+    from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y z w q"), ("c", "q r"), ("d", "")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_distinct"], r["novel"], r["novel_frac"])
+           for r in ngram_novelty(docs, n=3).collect()}
+    # a: trigrams {x y z, y z w} both first-seen here -> 2/2
+    # b: {x y z, y z w, z w q} -> only "z w q" novel -> 1/3
+    # c, d: shorter than 3 tokens -> no trigrams
+    assert got == {"a": (2, 2, 1.0), "b": (3, 1, 0.333333),
+                   "c": (0, 0, 0.0), "d": (0, 0, 0.0)}
+    # within-doc repeats collapse BEFORE attribution: "s t s t s t"
+    # has trigrams {s t s, t s t} each appearing twice -> n_distinct 2
+    rep = spark.createDataFrame([("e", "s t s t s t")],
+                                "doc_id string, text string")
+    row = ngram_novelty(rep, n=3).collect()[0]
+    assert (row["n_distinct"], row["novel"]) == (2, 2)
+
+
+def test_unigram_logprob_corpus_mle(spark):
+    """avg_logprob is the mean log2 corpus-unigram probability over token
+    INSTANCES (tf-weighted), NULL for empty docs."""
+    import math
+
+    from shacl_dqa_prototype_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x x y"), ("b", "y"), ("c", "  ")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+           for r in unigram_logprob(docs).collect()}
+    # corpus: x=2, y=2, total 4 -> every token has log2(1/2) = -1
+    assert got["a"] == (3, -1.0) and got["b"] == (1, -1.0)
+    assert got["c"] == (0, None)
+    # skewed corpus: z=3, q=1 -> doc d = (3*log2(3/4) + log2(1/4)) / 4
+    docs2 = spark.createDataFrame(
+        [("d", "z z z q")], "doc_id string, text string")
+    exp = round((3 * math.log2(3 / 4) + math.log2(1 / 4)) / 4, 6)
+    assert unigram_logprob(docs2).collect()[0]["avg_logprob"] == exp
+
+
 def test_k_hop_reachability(spark):
     from shacl_dqa_prototype_spark.operators.traversal import (
         k_hop_reachability,

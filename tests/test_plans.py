@@ -105,6 +105,7 @@ SWEEP = [
     "shape_functional_property", "shape_correct_range_class",
     "shape2_misplaced_props", "dqa_scores", "dqa2_meta_rollup",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_neardup",
+    "dedup_ngram_novelty", "text_unigram_logprob", "events_asof_nearest",
     "sim_topk_cosine", "sim_ann_ivf",
     "text_token_count", "text_fingerprint",
     "pipe_pack_sequences", "pipe_stratified_sample", "pipe_redact_pii",

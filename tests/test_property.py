@@ -305,7 +305,7 @@ _t = st.integers(min_value=0, max_value=50)
 @given(
     left=st.lists(st.tuples(_key, _t), min_size=1, max_size=12),
     right=st.lists(st.tuples(_key, _t), min_size=1, max_size=12),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
 def test_asof_join_matches_pandas_merge_asof(spark, left, right, direction):
     import pandas as pd
