@@ -173,3 +173,67 @@ def test_quality_gate_reasons_match_python(spark, texts):
             fails.append("no_stopwords")
         reasons = ",".join(fails)
         assert got[d] == (n, reasons == "", reasons), (t, got[d], reasons)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=8), n=st.integers(2, 3))
+def test_ngram_novelty_matches_python(spark, texts, n):
+    """First-occurrence attribution vs a python scan in ascending doc_id
+    order: per doc, distinct n-grams and how many it is the min-id
+    carrier of."""
+    from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
+
+    rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_distinct"], r["novel"], r["novel_frac"])
+           for r in ngram_novelty(df, n=n).collect()}
+    def _full_windows(text: str) -> set[str]:
+        # dup_ngram_fraction/ngram_novelty semantics: FULL windows only —
+        # a doc shorter than n tokens has zero n-grams (unlike the
+        # MinHash _py_shingles helper, which keeps the partial shingle)
+        toks = re.split(r"\s+", text.strip().lower())
+        if len(toks) < n:
+            return set()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    seen: set[str] = set()
+    exp = {}
+    for d, t in sorted(rows):             # ascending doc_id = string order
+        sh = _full_windows(t)
+        novel = {s for s in sh if s not in seen}
+        seen |= novel
+        frac = round(len(novel) / len(sh), 6) if sh else 0.0
+        exp[d] = (len(sh), len(novel), frac)
+    assert got == exp, texts
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=8))
+def test_unigram_logprob_matches_python(spark, texts):
+    """tf-weighted mean log2 corpus-unigram probability vs a python
+    counter over the same corpus; empty docs stay NULL."""
+    from collections import Counter
+
+    from shacl_dqa_prototype_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+           for r in unigram_logprob(df).collect()}
+    corpus = Counter()
+    toks = {}
+    for d, t in rows:
+        toks[d] = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        corpus.update(toks[d])
+    total = sum(corpus.values())
+    for d, ws in toks.items():
+        if not ws:
+            assert got[d] == (0, None), (d, got[d])
+            continue
+        lp = round(
+            sum(math.log2(corpus[w] / total) for w in ws) / len(ws), 6)
+        n, g = got[d]
+        assert n == len(ws)
+        assert g is not None and abs(g - lp) <= 1e-6, (d, g, lp, texts)
