@@ -429,6 +429,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["top_customer_per_nation"] = top_customer_per_nation
 
+    def tpch_q3(spark, sf_dir):
+        # Q3-style shipping priority: the classic 3-way selective join —
+        # Catalyst pushes all three date/segment filters into the parquet
+        # scans, the filtered customer dim broadcasts (no shuffle for the
+        # small side), and only the order-level aggregate shuffles. The
+        # TopK is a sort-limit (TakeOrderedAndProject), never a full sort.
+        _register(spark, sf_dir)
+        c = spark.table("customer").filter(
+            F.col("c_mktsegment") == "BUILDING")
+        o = spark.table("orders").filter(F.col("o_orderdate") < "1998-06-01")
+        li = spark.table("lineitem").filter(
+            F.col("l_shipdate") > "1998-06-01")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select(
+                "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd")
+                .alias("o_orderdate"),
+                "revenue"))
+    q["tpch_q3_shipping"] = tpch_q3
+
+    def tpch_q5(spark, sf_dir):
+        # Q5-style local-supplier volume: the 6-way star join — fact
+        # (lineitem⋈orders) keeps the only data-sized shuffle; supplier,
+        # nation, and region ride as broadcasts, and the co-nationality
+        # predicate (c_nationkey = s_nationkey) folds into the supplier
+        # broadcast join instead of a second fact shuffle.
+        _register(spark, sf_dir)
+        c, o = spark.table("customer"), spark.table("orders")
+        li = spark.table("lineitem")
+        s, n, r = (spark.table("supplier"), spark.table("nation"),
+                   spark.table("region"))
+        o = o.filter((F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1999-01-01"))
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                  & (c.c_nationkey == s.s_nationkey))
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .filter(F.col("r_name") == "ASIA"))
+        return j.groupBy("n_name").agg(
+            F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"))
+    q["tpch_q5_local_supplier"] = tpch_q5
+
     def customers_without_orders(spark, sf_dir):
         _register(spark, sf_dir)
         c, o = spark.table("customer"), spark.table("orders")
@@ -731,6 +786,34 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY spend DESC, c_custkey ASC) AS rn
       FROM spend)
     SELECT c_nationkey, c_custkey, spend FROM ranked WHERE rn = 1"""
+
+    o["tpch_q3_shipping"] = """
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10"""
+
+    o["tpch_q5_local_supplier"] = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name"""
 
     o["customers_without_orders"] = """
     SELECT c_custkey FROM customer

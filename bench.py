@@ -72,6 +72,10 @@ HEADLINE = [
     "text_bm25",
     "pipe_chunk_documents",
     "events_interval_join",
+    # round-5 operator families
+    "dedup_ngram_novelty",
+    "text_unigram_logprob",
+    "events_asof_nearest",
 ]
 
 

@@ -57,6 +57,23 @@ def test_dimension_joins_broadcast(spark, contract):
         assert "SortMergeJoin" not in s, f"{name}: dimension join shuffled"
 
 
+def test_tpch_q3_q5_star_join_shape(spark, contract):
+    """The multi-join analytics queries must keep every selective filter
+    in the parquet scan, broadcast the dimension sides, and express the
+    Q3 TopK as a sort-limit — never a global sort or a merge join."""
+    s3 = _explain(spark, contract["tpch_q3_shipping"](spark, SF))
+    assert "EqualTo(c_mktsegment,BUILDING)" in s3
+    assert "GreaterThan(l_shipdate" in s3 and "LessThan(o_orderdate" in s3
+    assert "BroadcastHashJoin" in s3 and "SortMergeJoin" not in s3
+    assert _op_count(s3, "TakeOrderedAndProject") >= 1
+    assert _op_count(s3, "Sort") == 0          # TopK, not a full sort
+    s5 = _explain(spark, contract["tpch_q5_local_supplier"](spark, SF))
+    assert "EqualTo(r_name,ASIA)" in s5
+    assert "BroadcastHashJoin" in s5 and "SortMergeJoin" not in s5
+    # co-nationality folds into the supplier join: no extra fact shuffle
+    assert "BatchEvalPython" not in s5 and "Cartesian" not in s5
+
+
 def test_window_top1_single_shuffle_per_key(spark, contract):
     """row_number top-1 per nation: one hash-partitioning exchange on the
     window key feeds the sort+window — no extra global sort."""
@@ -106,6 +123,7 @@ SWEEP = [
     "shape2_misplaced_props", "dqa_scores", "dqa2_meta_rollup",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_neardup",
     "dedup_ngram_novelty", "text_unigram_logprob", "events_asof_nearest",
+    "tpch_q3_shipping", "tpch_q5_local_supplier",
     "sim_topk_cosine", "sim_ann_ivf",
     "text_token_count", "text_fingerprint",
     "pipe_pack_sequences", "pipe_stratified_sample", "pipe_redact_pii",
