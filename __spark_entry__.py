@@ -458,11 +458,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tpch_q3_shipping"] = tpch_q3
 
     def tpch_q5(spark, sf_dir):
-        # Q5-style local-supplier volume: the 6-way star join — fact
-        # (lineitem⋈orders) keeps the only data-sized shuffle; supplier,
-        # nation, and region ride as broadcasts, and the co-nationality
-        # predicate (c_nationkey = s_nationkey) folds into the supplier
-        # broadcast join instead of a second fact shuffle.
+        # Q5-style local-supplier volume: the 6-way star join — supplier,
+        # nation, and region ride as broadcasts (the co-nationality
+        # predicate c_nationkey = s_nationkey folds into the supplier
+        # broadcast join, never a separate fact shuffle). The fact join
+        # (lineitem⋈orders) and the customer join are the data-sized
+        # shuffles: customer is NOT hinted because it scales with the
+        # data (TPC-H 150k×SF rows) — auto-broadcast takes it at bench
+        # scales, and at 100 TB it correctly becomes a shuffle join
+        # (co-partition orders/customer on custkey via bucketing to
+        # remove it entirely).
         _register(spark, sf_dir)
         c, o = spark.table("customer"), spark.table("orders")
         li = spark.table("lineitem")

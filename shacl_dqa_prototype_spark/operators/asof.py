@@ -42,8 +42,10 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
-    reserved = {"_r", "_is_l", "_m", "_mb", "_mf", "_mb2", "_mf2"} & (
-        set(left.columns) | set(right.columns))
+    internal = {"_r", "_is_l", "_m"}
+    if direction == "nearest":
+        internal |= {"_mb", "_mf", "_mb2", "_mf2"}
+    reserved = internal & (set(left.columns) | set(right.columns))
     if reserved:
         # withColumn would silently OVERWRITE a caller column of the same
         # name and the internal drop would then remove it from the output

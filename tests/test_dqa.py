@@ -715,8 +715,8 @@ def test_degree_distribution_exact_buckets(spark):
     from shacl_dqa_prototype_spark.plans.profile import degree_distribution
 
     # hub: subject of 4 triples -> degree 4 (bucket 2)
-    # leaf objects o0..o3: in-degree 1 (bucket 0)
     # s2: subject of 2 triples + object of 1 -> degree 3 (bucket 1)
+    # o0: object of hub AND s2 -> degree 2 (bucket 1); o1, o2: degree 1
     rows = [("hub", "p", f"o{i}", "iri", None, None) for i in range(3)]
     rows += [("hub", "p", "s2", "iri", None, None)]
     rows += [("s2", "p", "lit", "literal", None, None),

@@ -1255,6 +1255,13 @@ def test_asof_join_reserved_columns_rejected(spark):
     right = spark.createDataFrame([(1, 9, 5.0)], ["id", "t", "px"])
     with pytest.raises(ValueError, match="reserve"):
         asof_join(left, right, by=["id"], on="t")
+    # the nearest-only internals are scoped to direction='nearest': a
+    # '_mb' column stays legal for backward/forward (review finding)
+    l2 = spark.createDataFrame([(1, 10, "v")], ["id", "t", "_mb"])
+    got = asof_join(l2, right, by=["id"], on="t").collect()
+    assert got[0]["px_r"] == 5.0 and got[0]["_mb"] == "v"
+    with pytest.raises(ValueError, match="reserve"):
+        asof_join(l2, right, by=["id"], on="t", direction="nearest")
 
 
 def test_sessionize_watermark_param_batch_noop(spark):
