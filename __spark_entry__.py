@@ -1078,6 +1078,9 @@ def oracle_sql() -> dict[str, str]:
     # (+ the monotone log), so those entries share the batch oracles
     # incremental LSH index union == batch LSH candidate generation
     o["kg_streaming_neardup"] = o["dedup_minhash_lsh"]
+    # streaming novelty-at-ingest union == batch first-occurrence novelty
+    # (id-ordered epochs — the operator's documented parity contract)
+    o["kg_streaming_novelty"] = o["dedup_ngram_novelty"]
     o["incremental_dqa_label"] = o["shape_label_for_entities"]
     o["streaming_dqa_label"] = o["shape_label_for_entities"]
     o["incremental_dqa_scores"] = o["dqa_scores"]

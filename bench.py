@@ -76,6 +76,8 @@ HEADLINE = [
     "dedup_ngram_novelty",
     "text_unigram_logprob",
     "events_asof_nearest",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
 ]
 
 

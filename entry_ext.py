@@ -1261,6 +1261,61 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _SND_CACHE[key]
     q["kg_streaming_neardup"] = kg_streaming_neardup
 
+    def kg_streaming_novelty(spark, sf_dir):
+        # online novelty-at-ingest == batch ngram_novelty when epochs
+        # arrive in id order (the operator's documented parity contract):
+        # two id-ordered, mtime-ordered halves force the second epoch to
+        # score against the first's STORED index, not a warm cache
+        key = (id(spark), sf_dir)
+        if key not in _SNV_CACHE:
+            import tempfile
+
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StructField,
+                StructType,
+            )
+            from shacl_dqa_prototype_spark.sources.snapshots import (
+                SnapshotTable,
+            )
+            from shacl_dqa_prototype_spark.streaming.ingest import (
+                start_streaming_novelty,
+            )
+
+            d = _docs_flat(spark, sf_dir)
+            half = (d.agg(F.max("doc_id")).first()[0] + 1) // 2
+            root = tempfile.mkdtemp(prefix="snv_")
+            in_dir = os.path.join(root, "in")
+            import time as _time
+            for i, part in enumerate((d.filter(F.col("doc_id") < half),
+                                      d.filter(F.col("doc_id") >= half))):
+                p = os.path.join(in_dir, f"b{i}")
+                part.repartition(1).write.mode("overwrite").parquet(p)
+                _time.sleep(0.05)
+                for f in os.listdir(p):
+                    os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+            idx_schema = StructType([
+                StructField("ng", LongType(), True),
+                StructField("first_doc", LongType(), True)])
+            index = SnapshotTable(spark, os.path.join(root, "idx"),
+                                  idx_schema)
+            res_schema = StructType([
+                StructField("doc_id", LongType(), True),
+                StructField("n_distinct", LongType(), False),
+                StructField("novel", LongType(), False),
+                StructField("novel_frac", DoubleType(), False)])
+            results = SnapshotTable(spark, os.path.join(root, "res"),
+                                    res_schema)
+            start_streaming_novelty(
+                spark, in_dir + "/*", index, results,
+                os.path.join(root, "ckpt"), n=8,
+                schema=d.schema, max_files_per_trigger=1,
+            ).awaitTermination()
+            _SNV_CACHE[key] = results.read().distinct().cache()
+        return _SNV_CACHE[key]
+    q["kg_streaming_novelty"] = kg_streaming_novelty
+
     # --- incremental DQA: fold the triple view in as TWO snapshot appends,
     # derive families from the merged state + monotone log — every entry
     # must equal the batch plan AND the corresponding batch oracle. State
@@ -1342,6 +1397,7 @@ _SDQA_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SUP_CACHE: dict[tuple[int, str], DataFrame] = {}
 _CTX_V_CACHE: dict[tuple[int, str], DataFrame] = {}
 _SND_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SNV_CACHE: dict[tuple[int, str], DataFrame] = {}
 # depth-k prefix regexes re-derive the funnel fold: a subsequence prefix of
 # length k matched <=> depth >= k
 FUNNEL_STEPS = ["purchase", "error", "purchase", "error", "purchase",

@@ -444,6 +444,36 @@ def dup_ngram_fraction(
     )
 
 
+def distinct_full_ngrams(
+    docs: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shingle) distinct WITHIN each doc, FULL n-token windows
+    only — a doc shorter than n tokens emits nothing (the
+    dup_ngram_fraction / ngram_novelty granularity, unlike `_shingles`'
+    partial-window MinHash granularity). Within-doc repeats collapse
+    map-side via array_distinct on the shingle array BEFORE the explode,
+    so this projection is shuffle-free and pipelines with the scan."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), TOKEN_RX).alias("toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.array_distinct(F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                )),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    )
+
+
 def ngram_novelty(
     docs: DataFrame,
     n: int = 8,
@@ -474,22 +504,7 @@ def ngram_novelty(
     Shingle keys should be ``_hash60``-ed at 100 TB to shrink the
     exchange; the contract entry keeps raw strings so the SQL oracle
     re-derives them verbatim."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(text_col), TOKEN_RX).alias("toks"),
-    )
-    pos = toks.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= n,
-                F.array_distinct(F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - n),
-                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-                )),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingle"),
-    )
+    pos = distinct_full_ngrams(docs, n, id_col, text_col)
     w = Window.partitionBy("shingle")
     per_doc = (
         pos.withColumn("first_doc", F.min("doc_id").over(w))

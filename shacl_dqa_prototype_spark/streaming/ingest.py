@@ -430,3 +430,143 @@ def start_streaming_neardup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_streaming_novelty(
+    spark: SparkSession,
+    input_dir: str,
+    index,
+    results,
+    checkpoint_dir: str,
+    n: int = 8,
+    portable: bool = False,
+    n_buckets: int = 32,
+    schema=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_files_per_trigger: int = 16,
+    available_now: bool = True,
+    maintain_every: int | None = 32,
+    compact_max_dirs: int = 64,
+    keep_snapshots: int = 8,
+) -> StreamingQuery:
+    """Online n-gram NOVELTY at ingest: every document batch is scored
+    against the ACCUMULATED n-gram index (all previous batches) plus
+    itself, emitting the same ``(doc_id, n_distinct, novel, novel_frac)``
+    rows as the batch ``ngram_novelty`` operator — the moment a doc
+    arrives, the pipeline knows how much it still adds to the corpus,
+    without ever re-scanning it.
+
+    Parity contract: when batches arrive in non-decreasing doc-id order
+    (each epoch's ids ≥ every earlier epoch's — the natural shape for an
+    id-assigned ingest), the union of per-epoch results equals batch
+    ``ngram_novelty`` over the whole corpus exactly; that is how the
+    contract entry oracles it. Out-of-order arrival attributes a shared
+    n-gram to its EARLIEST-ARRIVING carrier instead of the min id — the
+    same monotone-arrival trade documented on the streaming funnel.
+
+    ``index`` is a SnapshotTable of (ng: 60/64-bit shingle hash,
+    first_doc) bucketed BY ng; ``results`` is an append-only SnapshotTable
+    of the per-doc rows. Per epoch the stored index is read BUCKET-PRUNED
+    (only the table buckets the batch's n-gram hashes land in are listed
+    — same path-level pruning as the streaming near-dup index), so a
+    small batch against a 10⁹-ngram index touches ~|batch buckets| /
+    n_buckets of its files. Both commits are delta_id-idempotent, and
+    results commits BEFORE index: a crash between them replays against
+    the unchanged index and reproduces identical rows (the reverse order
+    would rescore the replayed batch against its own n-grams).
+    At-least-once REdelivery of a doc in a later epoch is also stable:
+    its n-grams resolve to ``first_doc == doc_id`` in the index, so the
+    re-emitted row is identical and collapses under ``distinct()``.
+    Shingles are hashed (``_hash60``; xxhash64 by default — the 100 TB
+    fast path) before touching the index, trading a vanishing collision
+    probability for a fixed-width key, exactly like the LSH index."""
+    from shacl_dqa_prototype_spark.operators.dedup import (
+        _hash60,
+        distinct_full_ngrams,
+    )
+
+    run_id = os.path.abspath(checkpoint_dir)
+
+    def _fold(batch_df, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        delta_id = f"{run_id}#{epoch_id}"
+        res_done = any(
+            s.get("delta_id") == delta_id for s in results.snapshots())
+        idx_done = any(
+            s.get("delta_id") == delta_id for s in index.snapshots())
+        if res_done and idx_done:
+            return
+        base = batch_df.select(F.col(id_col).alias("doc_id")).distinct()
+        # checkpoint: b feeds three jobs (touched-buckets collect, the
+        # results commit, the index append); released at epoch end
+        b = (
+            distinct_full_ngrams(batch_df, n, id_col, text_col)
+            .withColumn("ng", _hash60(F.col("shingle"), portable=portable))
+            .drop("shingle")
+            .localCheckpoint()
+        )
+        try:
+            touched = [r[0] for r in b.select(
+                F.pmod(F.xxhash64("ng"), F.lit(n_buckets)).alias("tb")
+            ).distinct().collect()]
+            stored = index.read_buckets(touched).withColumnsRenamed(
+                {"first_doc": "_owner"})
+            w = Window.partitionBy("ng")
+            j = (
+                b.join(stored, "ng", "left")
+                .withColumn("_min", F.min("doc_id").over(w))
+                .withColumn(
+                    "_novel",
+                    F.when(F.col("_owner").isNull(),
+                           F.col("doc_id") == F.col("_min"))
+                    .otherwise(F.col("_owner") == F.col("doc_id")))
+            )
+            if not res_done:
+                per = j.groupBy("doc_id").agg(
+                    F.count("*").cast("long").alias("n_distinct"),
+                    F.sum(F.col("_novel").cast("int")).cast("long")
+                    .alias("novel"))
+                rows = base.join(per, "doc_id", "left").select(
+                    "doc_id",
+                    F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                    F.coalesce("novel", F.lit(0)).alias("novel"),
+                    F.when(
+                        F.coalesce("n_distinct", F.lit(0)) > 0,
+                        F.round(F.coalesce("novel", F.lit(0))
+                                / F.col("n_distinct").cast("double"), 6))
+                    .otherwise(0.0).alias("novel_frac"))
+                results.commit_append(rows, extra={"delta_id": delta_id})
+            if not idx_done:
+                new_ng = (
+                    j.filter(F.col("_owner").isNull()
+                             & (F.col("doc_id") == F.col("_min")))
+                    .select("ng", F.col("doc_id").alias("first_doc")))
+                index.commit_append(new_ng, bucket_col="ng",
+                                    n_buckets=n_buckets,
+                                    extra={"delta_id": delta_id})
+        finally:
+            b.unpersist()
+        if maintain_every and epoch_id % maintain_every == maintain_every - 1:
+            for t in (index, results):
+                t.compact(max_dirs=compact_max_dirs)
+                t.expire_snapshots(keep_last=keep_snapshots)
+
+    src_schema = schema
+    if src_schema is None:
+        from pyspark.sql.types import StringType
+
+        src_schema = StructType([StructField(id_col, StringType(), False),
+                                 StructField(text_col, StringType(), True)])
+    writer = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

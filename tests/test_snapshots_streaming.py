@@ -1034,3 +1034,71 @@ def test_merge_delete_empty_dirs_noop(spark, tmp_path):
     t.evolve_schema(v2)  # snapshot with dirs=[], bucket_col=None
     t.merge_delete(spark.createDataFrame([("a",)], ["k"]), "k")
     assert t.read().count() == 0
+
+
+def test_streaming_novelty_matches_batch_and_redelivery(spark, tmp_path):
+    """Novelty-at-ingest on id-ordered epochs: per-epoch rows union to the
+    batch ngram_novelty result (the documented parity contract); an
+    at-least-once REdelivery in a later file re-emits an identical row
+    (its n-grams resolve to first_doc == itself), so distinct() holds;
+    re-draining the checkpoint adds nothing."""
+    import time as _time
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_streaming_novelty,
+    )
+
+    schema = StructType([StructField("doc_id", LongType(), False),
+                         StructField("text", StringType(), False)])
+    shared = "alpha beta gamma"
+    batches = [
+        [(1, f"{shared} one two"), (2, "totally different words here")],
+        [(3, f"{shared} later copy"), (4, "x")],        # 4: too short
+        [(1, f"{shared} one two")],                     # redelivery of 1
+    ]
+    in_dir = str(tmp_path / "in")
+    for i, rows in enumerate(batches):
+        p = os.path.join(in_dir, f"b{i}")
+        spark.createDataFrame(rows, schema).repartition(1) \
+            .write.mode("overwrite").parquet(p)
+        _time.sleep(0.05)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+
+    idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
+        StructField("ng", LongType(), True),
+        StructField("first_doc", LongType(), True)]))
+    res = SnapshotTable(spark, str(tmp_path / "res"), StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("n_distinct", LongType(), False),
+        StructField("novel", LongType(), False),
+        StructField("novel_frac", DoubleType(), False)]))
+    ck = str(tmp_path / "ckpt")
+    start_streaming_novelty(
+        spark, in_dir + "/*", idx, res, ck, n=3, schema=schema,
+        max_files_per_trigger=1, n_buckets=4,
+    ).awaitTermination(180)
+    got = {tuple(r) for r in res.read().distinct().collect()}
+    docs = spark.createDataFrame(batches[0] + batches[1], schema)
+    exp = {tuple(r) for r in ngram_novelty(docs, n=3).collect()}
+    # the redelivered doc 1 re-emits its ORIGINAL row -> distinct union
+    # equals the batch result over the deduped corpus
+    assert got == exp
+    # doc 3 shares 'alpha beta gamma' with the indexed doc 1: novel < all
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][1] == 3 and by_id[3][2] == 2   # 1 of 3 trigrams seen
+    assert by_id[4] == (4, 0, 0, 0.0)              # too short
+    before = res.read().count()
+    start_streaming_novelty(
+        spark, in_dir + "/*", idx, res, ck, n=3, schema=schema,
+        max_files_per_trigger=1, n_buckets=4,
+    ).awaitTermination(120)
+    assert res.read().count() == before  # idempotent re-drain

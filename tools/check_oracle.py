@@ -34,6 +34,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: sf_dir {sf_dir!r} is not a directory\n"
+              f"Usage: check_oracle.py [sf_dir] [query ...] "
+              f"(space-separated names)")
+        return 2
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check", cores=os.environ.get("SPARK_GRAFT_CPUS", 8))
 
@@ -44,6 +49,16 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # a selection that matches NOTHING must be an error, not a vacuous
+    # "ALL OK": misspelled names, flag-style args (--only x), or
+    # comma-joined lists would otherwise skip every check and still
+    # report success
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}\n"
+              f"Usage: check_oracle.py [sf_dir] [query ...] "
+              f"(space-separated names)")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
