@@ -804,3 +804,30 @@ def test_metadata_zero_focus_nodes_conforms():
         "o_dtype string, o_lang string")
     res = evaluate_metadata(md, "http://rdfs.org/ns/void#Dataset")
     assert len(res) == 9 and all(r.measure == 1 for r in res)
+
+
+def test_check_oracle_rejects_bad_selections():
+    """The local gate tool must ERROR on selections that match nothing —
+    flag-style args ('--only', 'a,b') previously matched zero queries
+    and printed a vacuous ALL OK (a real green gate has one OK line per
+    entry). Fail-fast: both rejections happen before any Spark startup,
+    so this test runs in seconds."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": REPO}
+    bad_name = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
+         "/root/testdata/sf0.001", "--only", "no_such_query,also_missing"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert bad_name.returncode == 2
+    assert "unknown query name" in bad_name.stdout
+    assert "ALL OK" not in bad_name.stdout
+    bad_dir = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "tools", "check_oracle.py"),
+         "--sf"],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert bad_dir.returncode == 2
+    assert "not a directory" in bad_dir.stdout

@@ -40,6 +40,18 @@ def main() -> int:
               f"(space-separated names)")
         return 2
     only = set(sys.argv[2:])
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # a selection that matches NOTHING must be an error, not a vacuous
+    # "ALL OK": misspelled names, flag-style args (--only x), or
+    # comma-joined lists would otherwise skip every check and still
+    # report success — checked BEFORE Spark starts so bad invocations
+    # fail in seconds, not after a JVM spin-up
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}\n"
+              f"Usage: check_oracle.py [sf_dir] [query ...] "
+              f"(space-separated names)")
+        return 2
     spark = get_spark("oracle-check", cores=os.environ.get("SPARK_GRAFT_CPUS", 8))
 
     con = duckdb.connect()
@@ -48,17 +60,6 @@ def main() -> int:
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    # a selection that matches NOTHING must be an error, not a vacuous
-    # "ALL OK": misspelled names, flag-style args (--only x), or
-    # comma-joined lists would otherwise skip every check and still
-    # report success
-    unknown = only - set(qs)
-    if unknown:
-        print(f"ERROR: unknown query name(s): {sorted(unknown)}\n"
-              f"Usage: check_oracle.py [sf_dir] [query ...] "
-              f"(space-separated names)")
-        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
