@@ -21,7 +21,10 @@ state per microbatch); `--curate` to measure end-to-end corpus-curation
 throughput (gate → source filter → LSH keep-best dedup → redact);
 `--incremental` to measure the incremental-DQA cost curve (seconds per
 fixed-size delta as the state grows — the bucket-pruned O(delta)
-evidence); the default run reports queries + construction.
+evidence); `--novelty-stream` to measure the novelty-at-ingest drain
+rate (id-ordered epoch files scored against the accumulated n-gram
+index, result asserted equal to batch ngram_novelty); the default run
+reports queries + construction.
 """
 
 from __future__ import annotations
@@ -706,6 +709,92 @@ def main() -> None:
         spark.stop()
         shutil.rmtree(wd, ignore_errors=True)
         shutil.rmtree(sd_corpus, ignore_errors=True)
+
+    if "--novelty-stream" in sys.argv:
+        # Novelty-at-ingest drain rate: a flat corpus arrives as K
+        # id-ordered epoch files; every batch is scored against the
+        # accumulated bucket-pruned n-gram index and folded in. The timed
+        # section is the full drain (all index reads + both snapshot
+        # commits per epoch); the result set is then asserted EQUAL to
+        # batch ngram_novelty over the same corpus — throughput with the
+        # correctness proof attached, not instead of it.
+        n_nv = int(os.environ.get("SPARK_GRAFT_NOVELTY_DOCS", 200_000))
+        n_epochs_nv = int(os.environ.get("SPARK_GRAFT_NOVELTY_EPOCHS", 8))
+        nv_corpus = _materialize_flat_corpus(n_nv)
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
+        from shacl_dqa_prototype_spark.sources.snapshots import SnapshotTable
+        from shacl_dqa_prototype_spark.streaming.ingest import (
+            start_streaming_novelty,
+        )
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(f"bench-novelty-{CPUS}", cores=CPUS)
+        docs = spark.read.parquet(
+            os.path.join(nv_corpus, "documents.parquet")
+        ).select("doc_id", "text")
+        wd = tempfile.mkdtemp(prefix="bench_novelty_")
+        in_dir = os.path.join(wd, "in")
+        # datagen ids are zero-padded strings (doc_000000042): their
+        # lexicographic order IS the numeric order, so id-ordered epochs
+        # split on the extracted numeric suffix and min(doc_id) agrees
+        # between the stream and the batch operator
+        per = (n_nv + n_epochs_nv - 1) // n_epochs_nv
+        num = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
+        for i in range(n_epochs_nv):
+            p = os.path.join(in_dir, f"b{i:03d}")
+            # ONE file per epoch: multiple part files share an mtime, so
+            # maxFilesPerTrigger=1 would split the epoch into sub-batches
+            # arriving in arbitrary id order — violating the id-ordered
+            # arrival precondition the batch-parity assert depends on
+            docs.filter((num >= i * per) & (num < (i + 1) * per)
+                        ).repartition(1).write.mode("overwrite").parquet(p)
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+        idx = SnapshotTable(spark, os.path.join(wd, "idx"), StructType([
+            StructField("ng", LongType(), True),
+            StructField("first_doc", StringType(), True)]))
+        res_t = SnapshotTable(spark, os.path.join(wd, "res"), StructType([
+            StructField("doc_id", StringType(), True),
+            StructField("n_distinct", LongType(), False),
+            StructField("novel", LongType(), False),
+            StructField("novel_frac", DoubleType(), False)]))
+        t0 = time.time()
+        start_streaming_novelty(
+            spark, in_dir + "/*", idx, res_t,
+            os.path.join(wd, "ckpt"), n=8, schema=docs.schema,
+            max_files_per_trigger=1, n_buckets=32,
+        ).awaitTermination()
+        nv_sec = time.time() - t0
+        got = res_t.read().distinct()
+        exp = ngram_novelty(docs, n=8)
+        mismatches = got.unionByName(exp).groupBy(
+            "doc_id", "n_distinct", "novel", "novel_frac"
+        ).count().filter("count <> 2").count()
+        out["novelty_stream"] = {
+            "cores": CPUS,
+            "n_docs": n_nv,
+            "epochs": n_epochs_nv,
+            "sec": round(nv_sec, 2),
+            "docs_per_sec": round(n_nv / nv_sec, 1),
+            "index_ngrams": idx.read().count(),
+            "matches_batch": mismatches == 0,
+        }
+        assert mismatches == 0, f"{mismatches} rows differ from batch"
+        spark.stop()
+        shutil.rmtree(wd, ignore_errors=True)
+        shutil.rmtree(nv_corpus, ignore_errors=True)
 
     if "--curate" in sys.argv:
         # End-to-end curation throughput: documents parquet → quality gate

@@ -542,7 +542,11 @@ def start_streaming_novelty(
                 new_ng = (
                     j.filter(F.col("_owner").isNull()
                              & (F.col("doc_id") == F.col("_min")))
-                    .select("ng", F.col("doc_id").alias("first_doc")))
+                    .select("ng", F.col("doc_id").alias("first_doc"))
+                    # a within-doc shingle hash collision yields the same
+                    # (ng, doc) row twice; a duplicated index row would
+                    # multiply every future join against it
+                    .distinct())
                 index.commit_append(new_ng, bucket_col="ng",
                                     n_buckets=n_buckets,
                                     extra={"delta_id": delta_id})
