@@ -735,6 +735,7 @@ def main() -> None:
         from shacl_dqa_prototype_spark.sources.snapshots import SnapshotTable
         from shacl_dqa_prototype_spark.streaming.ingest import (
             start_streaming_novelty,
+            write_ordered_epochs,
         )
 
         active = SparkSession.getActiveSession()
@@ -752,16 +753,9 @@ def main() -> None:
         # between the stream and the batch operator
         per = (n_nv + n_epochs_nv - 1) // n_epochs_nv
         num = F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long")
-        for i in range(n_epochs_nv):
-            p = os.path.join(in_dir, f"b{i:03d}")
-            # ONE file per epoch: multiple part files share an mtime, so
-            # maxFilesPerTrigger=1 would split the epoch into sub-batches
-            # arriving in arbitrary id order — violating the id-ordered
-            # arrival precondition the batch-parity assert depends on
-            docs.filter((num >= i * per) & (num < (i + 1) * per)
-                        ).repartition(1).write.mode("overwrite").parquet(p)
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+        write_ordered_epochs(
+            [docs.filter((num >= i * per) & (num < (i + 1) * per))
+             for i in range(n_epochs_nv)], in_dir)
         idx = SnapshotTable(spark, os.path.join(wd, "idx"), StructType([
             StructField("ng", LongType(), True),
             StructField("first_doc", StringType(), True)]))

@@ -1168,13 +1168,13 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         key = (id(spark), sf_dir)
         if key not in _SUP_CACHE:
             import tempfile
-            import time as _time
 
             from shacl_dqa_prototype_spark.sources.snapshots import (
                 SnapshotTable,
             )
             from shacl_dqa_prototype_spark.streaming.ingest import (
                 start_streaming_upsert,
+                write_ordered_epochs,
             )
 
             orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
@@ -1191,12 +1191,7 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 (F.col("o_totalprice") + 5000).alias("o_totalprice")))
             root = tempfile.mkdtemp(prefix="sup_")
             in_dir = os.path.join(root, "in")
-            for i, df in enumerate((base, u1, u2)):
-                p = os.path.join(in_dir, f"b{i}")
-                df.repartition(1).write.mode("overwrite").parquet(p)
-                _time.sleep(0.05)
-                for f in os.listdir(p):
-                    os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+            write_ordered_epochs((base, u1, u2), in_dir)
             tbl = SnapshotTable(spark, os.path.join(root, "tbl"), base.schema)
             start_streaming_upsert(
                 spark, in_dir + "/*", tbl, "o_orderkey", base.schema,
@@ -1226,6 +1221,7 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             from shacl_dqa_prototype_spark.streaming.ingest import (
                 start_streaming_neardup,
+                write_ordered_epochs,
             )
 
             d = _docs_flat(spark, sf_dir)
@@ -1233,14 +1229,8 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             in_dir = os.path.join(root, "in")
             # two mtime-ordered halves => the index path actually runs
             # (second epoch matches against the first's stored buckets)
-            import time as _time
-            for i, part in enumerate((d.filter("doc_id % 2 = 0"),
-                                      d.filter("doc_id % 2 = 1"))):
-                p = os.path.join(in_dir, f"b{i}")
-                part.repartition(1).write.mode("overwrite").parquet(p)
-                _time.sleep(0.05)
-                for f in os.listdir(p):
-                    os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+            write_ordered_epochs((d.filter("doc_id % 2 = 0"),
+                                  d.filter("doc_id % 2 = 1")), in_dir)
             idx_schema = StructType([
                 StructField("doc_id", LongType(), True),
                 StructField("band", IntegerType(), True),
@@ -1281,20 +1271,15 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             from shacl_dqa_prototype_spark.streaming.ingest import (
                 start_streaming_novelty,
+                write_ordered_epochs,
             )
 
             d = _docs_flat(spark, sf_dir)
             half = (d.agg(F.max("doc_id")).first()[0] + 1) // 2
             root = tempfile.mkdtemp(prefix="snv_")
             in_dir = os.path.join(root, "in")
-            import time as _time
-            for i, part in enumerate((d.filter(F.col("doc_id") < half),
-                                      d.filter(F.col("doc_id") >= half))):
-                p = os.path.join(in_dir, f"b{i}")
-                part.repartition(1).write.mode("overwrite").parquet(p)
-                _time.sleep(0.05)
-                for f in os.listdir(p):
-                    os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+            write_ordered_epochs((d.filter(F.col("doc_id") < half),
+                                  d.filter(F.col("doc_id") >= half)), in_dir)
             idx_schema = StructType([
                 StructField("ng", LongType(), True),
                 StructField("first_doc", LongType(), True)])

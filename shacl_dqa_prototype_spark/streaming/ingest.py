@@ -15,6 +15,7 @@ periodically folds them in. This mirrors production lambda designs.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,6 +25,70 @@ from shacl_dqa_prototype_spark.operators.extract import extract_fact_mentions
 from pyspark.sql.types import StructField, StructType, TimestampType
 
 from shacl_dqa_prototype_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def _run_token(checkpoint_dir: str) -> str:
+    """Identity of this checkpoint's LIFETIME, for keying idempotent epoch
+    commits. The checkpoint path alone is not enough: deleting the
+    checkpoint dir (the natural "reprocess" move) restarts Spark's epoch
+    numbering at 0, and a path-keyed delta id would collide with the OLD
+    run's epoch 0 and silently skip the fresh batches. A nonce file
+    created atomically inside the checkpoint dir pins the identity to the
+    dir's lifetime instead — a resumed stream reads the same nonce (replay
+    stays idempotent), a recreated checkpoint mints a new one (reprocess
+    really reprocesses; the downstream tables then hold both runs' output,
+    which is what reprocessing into the same table means)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "run_nonce")
+    if not os.path.exists(p):
+        # tmp-write + hard-link = atomic create-if-absent with complete
+        # contents (open('x') exists-but-empty during the write window)
+        tmp = f"{p}.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(uuid.uuid4().hex)
+        try:
+            os.link(tmp, p)
+        except FileExistsError:
+            pass  # concurrent starter won; read theirs below
+        finally:
+            os.unlink(tmp)
+    with open(p) as f:
+        return f"{os.path.abspath(checkpoint_dir)}#{f.read().strip()}"
+
+
+def _check_index_layout(table, bucket_col: str, n_buckets: int) -> None:
+    """Refuse a bucket-pruned index read whose mod base disagrees with the
+    layout the table was committed under — touched-bucket sets computed
+    mod 16 against leaf dirs written mod 32 silently MISS stored rows
+    (wrong novelty/pair output, duplicate index appends), the same hazard
+    merge_upsert already rejects up front."""
+    snap = table.current()
+    if snap and snap["dirs"]:
+        have = (snap.get("bucket_col"), snap.get("n_buckets"))
+        if have != (bucket_col, n_buckets):
+            raise ValueError(
+                f"index table {table.table_dir!r} is committed with "
+                f"bucket_col={have[0]!r}, n_buckets={have[1]}; this stream "
+                f"was started with bucket_col={bucket_col!r}, "
+                f"n_buckets={n_buckets} — bucket-pruned reads would "
+                "silently miss stored rows")
+
+
+def write_ordered_epochs(epoch_dfs, in_dir: str) -> str:
+    """Write each epoch's DataFrame as ONE parquet part file with strictly
+    increasing mtimes — the arrival-order harness the streaming operators'
+    parity contracts (and their tests/benches) depend on. One file per
+    epoch because multiple part files share an mtime, so
+    ``maxFilesPerTrigger=1`` would split an epoch into sub-batches
+    arriving in arbitrary order; monotone synthetic mtimes because the
+    file source orders its backlog by modification time. Returns the glob
+    to pass as the stream's input path."""
+    for i, part in enumerate(epoch_dfs):
+        p = os.path.join(in_dir, f"b{i:03d}")
+        part.repartition(1).write.mode("overwrite").parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+    return in_dir + "/*"
 
 
 def stream_documents(spark: SparkSession, input_dir: str,
@@ -78,12 +143,12 @@ def start_incremental_extraction_snapshots(
     the log makes the commit idempotent (replayed epochs are skipped)."""
     docs = stream_documents(spark, input_dir)
     mentions = extract_fact_mentions(docs)
-    # idempotence must key on (checkpoint lineage, epoch), not the epoch
+    # idempotence must key on (checkpoint LIFETIME, epoch), not the epoch
     # alone: a NEW checkpoint restarts epoch numbering at 0, and keying on
     # the bare number would silently skip a fresh query's first batches
-    # because some old run also had an epoch 0. The checkpoint dir is the
-    # run identity — the same pairing Spark's own exactly-once sinks use.
-    run_id = os.path.abspath(checkpoint_dir)
+    # because some old run also had an epoch 0 (_run_token's nonce also
+    # distinguishes a DELETED-and-recreated checkpoint from a resumed one).
+    run_id = _run_token(checkpoint_dir)
 
     def _commit_batch(batch_df, epoch_id: int) -> None:
         if any(s.get("epoch") == epoch_id and s.get("run") == run_id
@@ -228,7 +293,7 @@ def start_streaming_dqa(
     (audit mode — bound it yourself)."""
     from shacl_dqa_prototype_spark.plans.incremental import apply_delta
 
-    run_id = os.path.abspath(checkpoint_dir)
+    run_id = _run_token(checkpoint_dir)
     tables = (state.subj_flags, state.ps_counts, state.cls_pairs,
               state.po_pairs, state.dom_pairs, state.spo_pairs,
               state.mono_violations)
@@ -286,7 +351,7 @@ def start_streaming_upsert(
     start_streaming_dqa."""
     from pyspark.sql import Window
 
-    run_id = os.path.abspath(checkpoint_dir)
+    run_id = _run_token(checkpoint_dir)
 
     def _fold(batch_df, epoch_id: int) -> None:
         delta_id = f"{run_id}#{epoch_id}"
@@ -360,7 +425,7 @@ def start_streaming_neardup(
     each table it already reached)."""
     from shacl_dqa_prototype_spark.operators.dedup import lsh_bucket_rows
 
-    run_id = os.path.abspath(checkpoint_dir)
+    run_id = _run_token(checkpoint_dir)
 
     def _fold(batch_df, epoch_id: int) -> None:
         delta_id = f"{run_id}#{epoch_id}"
@@ -370,6 +435,12 @@ def start_streaming_neardup(
             s.get("delta_id") == delta_id for s in index.snapshots())
         if pairs_done and index_done:
             return
+        _check_index_layout(index, "bucket", n_buckets)
+        # an at-least-once upstream can redeliver a doc WITHIN one trigger
+        # (two files in the same batch); its identical bucket rows would
+        # land in the index twice and multiply every future join against
+        # them — collapse to one row per doc before bucketing
+        batch_df = batch_df.dropDuplicates([id_col])
         # checkpoint: b feeds up to three jobs (touched-buckets collect,
         # pair join, index append); unpersisted at the end of the epoch so
         # an unbounded stream doesn't accrete one pinned RDD per batch
@@ -486,7 +557,7 @@ def start_streaming_novelty(
         distinct_full_ngrams,
     )
 
-    run_id = os.path.abspath(checkpoint_dir)
+    run_id = _run_token(checkpoint_dir)
 
     def _fold(batch_df, epoch_id: int) -> None:
         from pyspark.sql import Window
@@ -498,7 +569,16 @@ def start_streaming_novelty(
             s.get("delta_id") == delta_id for s in index.snapshots())
         if res_done and idx_done:
             return
-        base = batch_df.select(F.col(id_col).alias("doc_id")).distinct()
+        _check_index_layout(index, "ng", n_buckets)
+        # a doc redelivered WITHIN one trigger would double its
+        # n_distinct/novel counts (distinct_full_ngrams dedups within one
+        # row's text, not across duplicate rows), emitting a second,
+        # CONFLICTING result row the batch operator can never produce —
+        # the cross-epoch redelivery stability documented above only
+        # holds if each epoch carries a doc at most once
+        batch_df = batch_df.dropDuplicates([id_col])
+        # ids are unique post-dedup — no second distinct/shuffle needed
+        base = batch_df.select(F.col(id_col).alias("doc_id"))
         # checkpoint: b feeds three jobs (touched-buckets collect, the
         # results commit, the index append); released at epoch end
         b = (

@@ -386,11 +386,11 @@ def test_merge_upsert_last_writer_wins_and_prunes(spark, tmp_path):
 def test_streaming_upsert_cdc(spark, tmp_path):
     """CDC stream -> merge_upsert per epoch: latest version per key wins,
     re-draining the same checkpoint is a no-op, history stays bounded."""
-    import time as _time
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
     from shacl_dqa_prototype_spark.streaming.ingest import (
         start_streaming_upsert,
+        write_ordered_epochs,
     )
 
     schema = StructType([StructField("k", StringType(), False),
@@ -403,13 +403,8 @@ def test_streaming_upsert_cdc(spark, tmp_path):
         [("k1", 100, 20), ("k1", 50, 19), ("knew", 7, 21)],       # in-batch dup
         [("k1", 777, 30), ("k5", 5, 31)],                         # later epoch wins
     ]
-    for i, rows in enumerate(batches):
-        p = os.path.join(in_dir, f"b{i}")
-        spark.createDataFrame(rows, schema).repartition(1) \
-            .write.mode("overwrite").parquet(p)
-        _time.sleep(0.05)
-        for f in os.listdir(p):
-            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+    write_ordered_epochs(
+        [spark.createDataFrame(rows, schema) for rows in batches], in_dir)
 
     tbl = SnapshotTable(spark, str(tmp_path / "tbl"), schema)
     ck = str(tmp_path / "ckpt")
@@ -503,7 +498,6 @@ def test_schema_evolution_add_column(spark, tmp_path):
 def test_streaming_neardup_catches_cross_batch_dups(spark, tmp_path):
     """A duplicate whose copies arrive in DIFFERENT batches is caught via
     the accumulated index; re-draining the checkpoint adds nothing."""
-    import time as _time
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
     from shacl_dqa_prototype_spark.operators.dedup import (
@@ -511,6 +505,7 @@ def test_streaming_neardup_catches_cross_batch_dups(spark, tmp_path):
     )
     from shacl_dqa_prototype_spark.streaming.ingest import (
         start_streaming_neardup,
+        write_ordered_epochs,
     )
 
     schema = StructType([StructField("doc_id", LongType(), False),
@@ -521,13 +516,8 @@ def test_streaming_neardup_catches_cross_batch_dups(spark, tmp_path):
         [(3, dup), (4, dup + " with a small tail change")],
     ]
     in_dir = str(tmp_path / "in")
-    for i, rows in enumerate(batches):
-        p = os.path.join(in_dir, f"b{i}")
-        spark.createDataFrame(rows, schema).repartition(1) \
-            .write.mode("overwrite").parquet(p)
-        _time.sleep(0.05)
-        for f in os.listdir(p):
-            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+    write_ordered_epochs(
+        [spark.createDataFrame(rows, schema) for rows in batches], in_dir)
 
     from pyspark.sql.types import IntegerType
     idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
@@ -915,7 +905,6 @@ def test_streaming_neardup_default_schema_and_no_self_pairs(spark, tmp_path):
     batch; (b) a document re-delivered by an at-least-once upstream in a
     LATER file matches its own indexed copy — the (x, x) self-pair must
     be filtered (the batch operator can never emit one)."""
-    import time as _time
 
     from pyspark.sql.types import (
         IntegerType,
@@ -926,6 +915,7 @@ def test_streaming_neardup_default_schema_and_no_self_pairs(spark, tmp_path):
     )
     from shacl_dqa_prototype_spark.streaming.ingest import (
         start_streaming_neardup,
+        write_ordered_epochs,
     )
 
     flat = StructType([StructField("doc_id", StringType(), False),
@@ -936,13 +926,8 @@ def test_streaming_neardup_default_schema_and_no_self_pairs(spark, tmp_path):
         [("a", dup), ("b", "unrelated words entirely different here now")],
         [("a", dup)],  # upstream re-delivery of doc 'a' in a later file
     ]
-    for i, rows in enumerate(batches):
-        p = os.path.join(in_dir, f"b{i}")
-        spark.createDataFrame(rows, flat).repartition(1) \
-            .write.mode("overwrite").parquet(p)
-        _time.sleep(0.05)
-        for f in os.listdir(p):
-            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+    write_ordered_epochs(
+        [spark.createDataFrame(rows, flat) for rows in batches], in_dir)
 
     idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
         StructField("doc_id", StringType(), True),
@@ -1042,7 +1027,6 @@ def test_streaming_novelty_matches_batch_and_redelivery(spark, tmp_path):
     at-least-once REdelivery in a later file re-emits an identical row
     (its n-grams resolve to first_doc == itself), so distinct() holds;
     re-draining the checkpoint adds nothing."""
-    import time as _time
 
     from pyspark.sql.types import (
         DoubleType,
@@ -1054,6 +1038,7 @@ def test_streaming_novelty_matches_batch_and_redelivery(spark, tmp_path):
     from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
     from shacl_dqa_prototype_spark.streaming.ingest import (
         start_streaming_novelty,
+        write_ordered_epochs,
     )
 
     schema = StructType([StructField("doc_id", LongType(), False),
@@ -1065,13 +1050,8 @@ def test_streaming_novelty_matches_batch_and_redelivery(spark, tmp_path):
         [(1, f"{shared} one two")],                     # redelivery of 1
     ]
     in_dir = str(tmp_path / "in")
-    for i, rows in enumerate(batches):
-        p = os.path.join(in_dir, f"b{i}")
-        spark.createDataFrame(rows, schema).repartition(1) \
-            .write.mode("overwrite").parquet(p)
-        _time.sleep(0.05)
-        for f in os.listdir(p):
-            os.utime(os.path.join(p, f), (1000 + i, 1000 + i))
+    write_ordered_epochs(
+        [spark.createDataFrame(rows, schema) for rows in batches], in_dir)
 
     idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
         StructField("ng", LongType(), True),
@@ -1102,3 +1082,158 @@ def test_streaming_novelty_matches_batch_and_redelivery(spark, tmp_path):
         max_files_per_trigger=1, n_buckets=4,
     ).awaitTermination(120)
     assert res.read().count() == before  # idempotent re-drain
+
+
+def test_streaming_novelty_within_batch_duplicate_collapses(spark, tmp_path):
+    """A doc redelivered WITHIN one trigger (duplicate rows in one epoch
+    file) must emit ONE row with single-counted n_distinct/novel — without
+    the fold's dropDuplicates, distinct_full_ngrams would see the doc
+    twice and emit a second, conflicting (2k, 2m) row the batch operator
+    can never produce."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_streaming_novelty,
+        write_ordered_epochs,
+    )
+
+    schema = StructType([StructField("doc_id", LongType(), False),
+                         StructField("text", StringType(), False)])
+    txt = "alpha beta gamma delta"
+    batches = [
+        [(1, txt), (2, "totally different words here"), (1, txt)],
+    ]
+    in_dir = str(tmp_path / "in")
+    write_ordered_epochs(
+        [spark.createDataFrame(rows, schema) for rows in batches], in_dir)
+    idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
+        StructField("ng", LongType(), True),
+        StructField("first_doc", LongType(), True)]))
+    res = SnapshotTable(spark, str(tmp_path / "res"), StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("n_distinct", LongType(), False),
+        StructField("novel", LongType(), False),
+        StructField("novel_frac", DoubleType(), False)]))
+    start_streaming_novelty(
+        spark, in_dir + "/*", idx, res, str(tmp_path / "ckpt"), n=3,
+        schema=schema, max_files_per_trigger=1, n_buckets=4,
+    ).awaitTermination(180)
+    rows = res.read().collect()
+    assert len(rows) == 2  # one row per doc, not one per delivered copy
+    got = {tuple(r) for r in rows}
+    docs = spark.createDataFrame(batches[0][:2], schema)
+    assert got == {tuple(r) for r in ngram_novelty(docs, n=3).collect()}
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1] == 2 and by_id[1][2] == 2  # 2 trigrams, NOT 4
+
+
+def test_streaming_index_layout_mismatch_fails_loudly(spark, tmp_path):
+    """A novelty/near-dup stream pointed at an index committed under a
+    DIFFERENT n_buckets must raise, not silently miss stored n-grams
+    (touched buckets mod 4 never list leaf dirs written mod 8) — the same
+    up-front layout check merge_upsert performs."""
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_streaming_novelty,
+        write_ordered_epochs,
+    )
+
+    idx_schema = StructType([StructField("ng", LongType(), True),
+                             StructField("first_doc", LongType(), True)])
+    idx = SnapshotTable(spark, str(tmp_path / "idx"), idx_schema)
+    idx.commit_append(spark.createDataFrame([(7, 1)], idx_schema),
+                      bucket_col="ng", n_buckets=8)
+    from pyspark.sql.types import DoubleType
+    res = SnapshotTable(spark, str(tmp_path / "res"), StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("n_distinct", LongType(), False),
+        StructField("novel", LongType(), False),
+        StructField("novel_frac", DoubleType(), False)]))
+    schema = StructType([StructField("doc_id", LongType(), False),
+                         StructField("text", StringType(), False)])
+    in_dir = str(tmp_path / "in")
+    write_ordered_epochs(
+        [spark.createDataFrame([(2, "alpha beta gamma")], schema)], in_dir)
+    q = start_streaming_novelty(
+        spark, in_dir + "/*", idx, res, str(tmp_path / "ckpt"), n=3,
+        schema=schema, max_files_per_trigger=1, n_buckets=4,
+    )
+    with pytest.raises(Exception, match="bucket-pruned reads"):
+        q.awaitTermination(180)
+
+
+def test_streaming_recreated_checkpoint_reprocesses(spark, tmp_path):
+    """Deleting the checkpoint dir (the 'reprocess' move) restarts epoch
+    numbering at 0 — the run nonce must mint a NEW identity so the fresh
+    run's batches are not skipped as replays of the old run's epoch 0
+    (path-keyed delta ids would silently drop every new file)."""
+    import shutil
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from shacl_dqa_prototype_spark.operators.dedup import ngram_novelty
+    from shacl_dqa_prototype_spark.streaming.ingest import (
+        start_streaming_novelty,
+        write_ordered_epochs,
+    )
+
+    schema = StructType([StructField("doc_id", LongType(), False),
+                         StructField("text", StringType(), False)])
+    in_dir = str(tmp_path / "in")
+    write_ordered_epochs(
+        [spark.createDataFrame([(1, "alpha beta gamma delta")], schema)],
+        in_dir)
+    idx = SnapshotTable(spark, str(tmp_path / "idx"), StructType([
+        StructField("ng", LongType(), True),
+        StructField("first_doc", LongType(), True)]))
+    res = SnapshotTable(spark, str(tmp_path / "res"), StructType([
+        StructField("doc_id", LongType(), True),
+        StructField("n_distinct", LongType(), False),
+        StructField("novel", LongType(), False),
+        StructField("novel_frac", DoubleType(), False)]))
+    ck = str(tmp_path / "ckpt")
+    start_streaming_novelty(
+        spark, in_dir + "/*", idx, res, ck, n=3, schema=schema,
+        max_files_per_trigger=1, n_buckets=4,
+    ).awaitTermination(180)
+    assert {r[0] for r in res.read().collect()} == {1}
+
+    shutil.rmtree(ck)  # user reprocesses: new checkpoint, same tables
+    # a later file arrives; the new run must score it (epoch 0 of the new
+    # run must NOT collide with the old run's committed epoch 0)
+    p2 = os.path.join(in_dir, "b001")
+    spark.createDataFrame([(2, "epsilon zeta eta theta")], schema) \
+        .repartition(1).write.mode("overwrite").parquet(p2)
+    for f in os.listdir(p2):
+        os.utime(os.path.join(p2, f), (2000, 2000))
+    start_streaming_novelty(
+        spark, in_dir + "/*", idx, res, ck, n=3, schema=schema,
+        max_files_per_trigger=1, n_buckets=4,
+    ).awaitTermination(180)
+    got = res.read().distinct()
+    assert {r[0] for r in got.collect()} == {1, 2}
+    # doc 1's replayed row is IDENTICAL (its n-grams resolve to
+    # first_doc == itself in the index), so the distinct union still
+    # equals the batch result over both docs
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        schema)
+    assert ({tuple(r) for r in got.collect()}
+            == {tuple(r) for r in ngram_novelty(docs, n=3).collect()})
