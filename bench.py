@@ -81,6 +81,8 @@ HEADLINE = [
     "events_asof_nearest",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "text_tfidf_top_terms",
+    "text_cooccurrence_pmi",
 ]
 
 

@@ -832,6 +832,23 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return unigram_logprob(_docs_flat(spark, sf_dir))
     q["text_unigram_logprob"] = text_lm
 
+    def text_tfidf(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import (
+            tfidf_top_terms,
+        )
+
+        return tfidf_top_terms(_docs_flat(spark, sf_dir), top_k=5)
+    q["text_tfidf_top_terms"] = text_tfidf
+
+    def text_cooc(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.textstats import (
+            token_cooccurrence,
+        )
+
+        return token_cooccurrence(_docs_flat(spark, sf_dir),
+                                  window=3, top_k=50)
+    q["text_cooccurrence_pmi"] = text_cooc
+
     def events_asof(spark, sf_dir):
         from pyspark.sql import Window as W
 
@@ -2113,6 +2130,69 @@ def ext_oracles() -> dict[str, str]:
       FROM dt JOIN gc USING (token) CROSS JOIN tot GROUP BY 1)
     SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, avg_logprob
     FROM documents d LEFT JOIN per USING (doc_id)"""
+
+    # per-doc TF-IDF keywords: smooth idf = ln((1+N)/(1+df)) + 1 (sklearn
+    # flavor); rank by raw double score BEFORE rounding, ties -> token —
+    # exact ties imply equal (tf, df), so both engines break identically
+    o["text_tfidf_top_terms"] = r"""
+    WITH toks AS (
+      SELECT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS token
+        FROM documents WHERE length(trim(text)) > 0)
+      WHERE length(token) > 0),
+    dt AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfx AS (SELECT doc_id, token, tf,
+                   count(*) OVER (PARTITION BY token) AS df FROM dt),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS s
+      FROM dfx CROSS JOIN nd),
+    ranked AS (
+      SELECT doc_id, token, s,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY s DESC, token) AS INT)
+               AS rank
+      FROM scored)
+    SELECT doc_id, token, round(s, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 5"""
+
+    # windowed co-occurrence PMI: the oracle generates pairs by lateral
+    # position join (clear in SQL); the Spark side is a map-side
+    # index-aware array transform — two routes to the same multiset. The
+    # PMI expression shape matches the Spark column op-for-op so both
+    # engines run the identical IEEE division/multiply sequence.
+    o["text_cooccurrence_pmi"] = r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents WHERE length(trim(text)) > 0),
+    pos AS (SELECT t, i, t[i] AS tok
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+    pairs AS (
+      SELECT least(p1.tok, p1.t[j]) AS tok_a,
+             greatest(p1.tok, p1.t[j]) AS tok_b
+      FROM pos p1,
+           UNNEST(range(p1.i + 1, least(p1.i + 3, len(p1.t)) + 1)) AS v(j)),
+    pc AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pairs GROUP BY 1, 2),
+    top AS (SELECT * FROM pc ORDER BY n_pairs DESC, tok_a, tok_b LIMIT 50),
+    uni AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_tok
+            FROM pos GROUP BY 1),
+    tp AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total_pairs FROM pc),
+    tt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total_toks FROM uni)
+    SELECT t.tok_a, t.tok_b, t.n_pairs,
+           round(ln((t.n_pairs / total_pairs)
+                    / ((ua.n_tok / total_toks) * (ub.n_tok / total_toks))),
+                 6) AS pmi,
+           CAST(row_number() OVER (ORDER BY t.n_pairs DESC, t.tok_a,
+                                   t.tok_b) AS INT) AS rank
+    FROM top t
+    JOIN uni ua ON ua.token = t.tok_a
+    JOIN uni ub ON ub.token = t.tok_b
+    CROSS JOIN tp CROSS JOIN tt"""
 
     # as-of join: the Spark side is UNION + last(ignorenulls) window; the
     # oracle is DuckDB's NATIVE ASOF JOIN — two independent formulations

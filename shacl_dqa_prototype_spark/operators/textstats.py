@@ -918,3 +918,141 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "avg_logprob",
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``top_k`` tokens of each doc
+    by TF-IDF (smooth idf = ln((1 + N)/(1 + df)) + 1, the sklearn default
+    — never zero, so a corpus-universal token still ranks by tf). The
+    per-doc keyword list is what a curation dashboard shows next to a
+    cluster, and the join key a topic-mixture planner buckets on.
+
+    Emits ``(doc_id, token, tfidf, rank)`` — at most ``top_k`` rows per
+    doc, tfidf rounded to 6 decimals, rank 1-based by
+    (tfidf DESC, token ASC). Exact-score ties (equal tf AND equal df)
+    break on the token string, so the cut is deterministic and
+    engine-portable.
+
+    Scale shape: three bounded exchanges, none corpus-text-sized —
+      1. groupBy(doc_id, token) collapses the exploded stream with
+         map-side partials (one row per distinct term per doc),
+      2. df is a window sum partitioned BY TOKEN over that aggregate
+         (the join-back expressed as one exchange, same discipline as
+         unigram_logprob's corpus counts); N rides a 1-row broadcast,
+      3. the rank window repartitions by doc_id and keeps ≤ top_k rows.
+    Token strings should be ``_hash60``-ed at 100 TB if the keyword text
+    itself is not needed downstream; the contract entry keeps raw strings
+    so the SQL oracle re-derives them verbatim."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    t = F.lower(F.trim(F.col(text_col)))
+    toks = (
+        docs.filter(F.length(t) > 0)
+        .select(F.col("doc_id"), F.explode(F.split(t, r"\s+")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    dt = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("double").alias("tf"))
+    dt = dt.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token")))
+    n_docs = docs.groupBy().agg(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        dt.crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_s",
+            F.col("tf")
+            * (F.log((1.0 + F.col("n_docs"))
+                     / (1.0 + F.col("df"))) + 1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_s").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "token", F.round("_s", 6).alias("tfidf"), "rank")
+    )
+
+
+def token_cooccurrence(
+    docs: DataFrame,
+    window: int = 3,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed token co-occurrence with PMI: the ``top_k`` unordered
+    token pairs by co-occurrence count within ``window`` positions,
+    scored by pointwise mutual information — the collocation statistic
+    behind phrase mining ("new york"), template detection (boilerplate
+    pairs with PMI ≈ 0 but huge counts), and word-association drift
+    checks on a crawl.
+
+    Emits ``(tok_a, tok_b, n_pairs, pmi, rank)`` with tok_a <= tok_b,
+    pmi = ln((n_ab/total_pairs) / ((n_a/total_toks) * (n_b/total_toks)))
+    rounded to 6 decimals, rank 1-based by (n_pairs DESC, tok_a, tok_b)
+    — an integer-keyed order, so the cut is deterministic.
+
+    Scale shape: pair generation is entirely MAP-SIDE — an index-aware
+    transform over each doc's token array pairs toks[i] with
+    toks[i+1..i+window] (slice past the end truncates safely), so the
+    only corpus-sized exchange is the partial-aggregated
+    groupBy(tok_a, tok_b). Unigram counts reuse the same exploded scan
+    (one more partial-aggregated groupBy); the top-k cut happens BEFORE
+    the PMI joins, so the unigram table joins against ≤ top_k broadcast
+    rows, never pair-table-sized. Totals are 1-row broadcast aggregates.
+    The pair-key space is vocab², but counts ≥ 2 concentrate it — at
+    100 TB, pre-filter the token arrays to a broadcast vocabulary (the
+    vocab_top_tokens output) to bound the shuffle key space."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    t = F.lower(F.trim(F.col(text_col)))
+    arr = docs.filter(F.length(t) > 0).select(
+        F.split(t, r"\s+").alias("toks"))
+    # map-side pair expansion: slice(toks, i+2, window) is 1-based —
+    # the tokens strictly after position i, at most `window` of them
+    pairs = arr.select(F.explode(F.expr(
+        f"flatten(transform(toks, (x, i) -> "
+        f"transform(slice(toks, i + 2, {int(window)}), y -> "
+        f"struct(least(x, y) AS a, greatest(x, y) AS b))))"
+    )).alias("p")).select(F.col("p.a").alias("tok_a"),
+                          F.col("p.b").alias("tok_b"))
+    pc = pairs.groupBy("tok_a", "tok_b").agg(
+        F.count("*").cast("long").alias("n_pairs"))
+    top = (
+        pc.orderBy(F.col("n_pairs").desc(), "tok_a", "tok_b")
+        .limit(top_k)
+    )
+    uni = (
+        arr.select(F.explode("toks").alias("token"))
+        .groupBy("token").agg(F.count("*").cast("long").alias("n_tok"))
+    )
+    totals = pc.groupBy().agg(
+        F.sum("n_pairs").cast("long").alias("total_pairs"))
+    tok_tot = uni.groupBy().agg(
+        F.sum("n_tok").cast("long").alias("total_toks"))
+    ua = uni.withColumnsRenamed({"token": "tok_a", "n_tok": "n_a"})
+    ub = uni.withColumnsRenamed({"token": "tok_b", "n_tok": "n_b"})
+    # the ≤ top_k side broadcasts in BOTH joins; the vocab-sized unigram
+    # table is always the streamed probe side
+    j1 = ua.join(F.broadcast(top), "tok_a")
+    j = (
+        ub.join(F.broadcast(j1), "tok_b")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(tok_tot))
+    )
+    # expression shape mirrors the SQL oracle operation-for-operation so
+    # both engines execute the identical IEEE division/multiply sequence
+    pmi = F.log(
+        (F.col("n_pairs") / F.col("total_pairs"))
+        / ((F.col("n_a") / F.col("total_toks"))
+           * (F.col("n_b") / F.col("total_toks"))))
+    w = Window.orderBy(F.col("n_pairs").desc(), "tok_a", "tok_b")
+    return (
+        j.select("tok_a", "tok_b", "n_pairs",
+                 F.round(pmi, 6).alias("pmi"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

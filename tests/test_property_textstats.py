@@ -237,3 +237,81 @@ def test_unigram_logprob_matches_python(spark, texts):
         n, g = got[d]
         assert n == len(ws)
         assert g is not None and abs(g - lp) <= 1e-6, (d, g, lp, texts)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=8),
+       top_k=st.integers(1, 4))
+def test_tfidf_top_terms_matches_python(spark, texts, top_k):
+    """Per-doc top-k by tf * (ln((1+N)/(1+df)) + 1) vs a python counter;
+    ties break on the token string; empty docs emit nothing."""
+    from collections import Counter
+
+    from shacl_dqa_prototype_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["tfidf"])
+           for r in tfidf_top_terms(df, top_k=top_k).collect()}
+    toks = {d: [w for w in re.split(r"\s+", t.strip().lower()) if w]
+            for d, t in rows}
+    dfc = Counter()
+    for ws in toks.values():
+        dfc.update(set(ws))
+    n_docs = len(rows)
+    exp = {}
+    for d, ws in toks.items():
+        tf = Counter(ws)
+        scored = sorted(
+            ((w, tf[w] * (math.log((1.0 + n_docs) / (1.0 + dfc[w])) + 1.0))
+             for w in tf),
+            key=lambda p: (-p[1], p[0]))
+        for rank, (w, s) in enumerate(scored[:top_k], start=1):
+            exp[(d, rank)] = (w, round(s, 6))
+    assert set(got) == set(exp), (texts, got, exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0], (k, got[k], exp[k])
+        assert abs(got[k][1] - exp[k][1]) <= 1e-6, (k, got[k], exp[k])
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_text, min_size=1, max_size=8),
+       window=st.integers(1, 3))
+def test_token_cooccurrence_matches_python(spark, texts, window):
+    """Unordered within-window pair counts + PMI vs a python scan over
+    the same token arrays; ranked by (count DESC, tok_a, tok_b)."""
+    from collections import Counter
+
+    from shacl_dqa_prototype_spark.operators.textstats import (
+        token_cooccurrence,
+    )
+
+    rows = [(f"d{i}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["tok_a"], r["tok_b"], r["n_pairs"], r["pmi"], r["rank"])
+           for r in sorted(token_cooccurrence(df, window=window, top_k=50)
+                           .collect(), key=lambda r: r["rank"])]
+    pc: Counter = Counter()
+    uni: Counter = Counter()
+    for _, t in rows:
+        if not t.strip():
+            continue
+        ws = re.split(r"\s+", t.strip().lower())
+        uni.update(ws)
+        for i, x in enumerate(ws):
+            for y in ws[i + 1:i + 1 + window]:
+                pc[(min(x, y), max(x, y))] += 1
+    total_pairs = sum(pc.values())
+    total_toks = sum(uni.values())
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    exp = []
+    for rank, ((a, b), n_ab) in enumerate(top, start=1):
+        pmi = math.log((n_ab / total_pairs)
+                       / ((uni[a] / total_toks) * (uni[b] / total_toks)))
+        exp.append((a, b, n_ab, round(pmi, 6), rank))
+    assert len(got) == len(exp), (texts, got, exp)
+    for g, e in zip(got, exp):
+        assert g[:3] == e[:3] and g[4] == e[4], (g, e, texts)
+        assert abs(g[3] - e[3]) <= 1e-6, (g, e, texts)
