@@ -83,6 +83,7 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "text_tfidf_top_terms",
     "text_cooccurrence_pmi",
+    "sim_centroid_cosine",
 ]
 
 

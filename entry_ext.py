@@ -849,6 +849,14 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                   window=3, top_k=50)
     q["text_cooccurrence_pmi"] = text_cooc
 
+    def sim_centroid(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.similarity import (
+            centroid_cosine,
+        )
+
+        return centroid_cosine(_emb(spark, sf_dir), group_col="label")
+    q["sim_centroid_cosine"] = sim_centroid
+
     def events_asof(spark, sf_dir):
         from pyspark.sql import Window as W
 
@@ -2193,6 +2201,23 @@ def ext_oracles() -> dict[str, str]:
     JOIN uni ua ON ua.token = t.tok_a
     JOIN uni ub ON ub.token = t.tok_b
     CROSS JOIN tp CROSS JOIN tt"""
+
+    # per-group centroid affinity: the oracle re-derives the per-dimension
+    # mean via unnest + generate_subscripts and DuckDB's native
+    # list_cosine_similarity; cosine rounded to 3 (float32 inputs — the
+    # same parity discipline as sim_topk_cosine)
+    o["sim_centroid_cosine"] = """
+    WITH pe AS (
+      SELECT label, unnest(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    dimavg AS (SELECT label, pos, avg(x) AS c FROM pe GROUP BY 1, 2),
+    cent AS (SELECT label, list(c ORDER BY pos) AS centroid
+             FROM dimavg GROUP BY 1)
+    SELECT e.vec_id, e.label,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid),
+                 3) AS cos_centroid
+    FROM embeddings e JOIN cent c USING (label)"""
 
     # as-of join: the Spark side is UNION + last(ignorenulls) window; the
     # oracle is DuckDB's NATIVE ASOF JOIN — two independent formulations

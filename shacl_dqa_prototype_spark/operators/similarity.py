@@ -213,3 +213,49 @@ def embedding_near_duplicates(
         cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def centroid_cosine(
+    embeddings: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid affinity: every vector's cosine to the MEAN
+    vector of its group — the embedding-space outlier signal a curation
+    pass reads to find mislabeled / off-topic members of a cluster,
+    source, or dedup family (low cosine to your own centroid = you don't
+    belong). Emits ``(vec_id, <group_col>, cos_centroid)`` for every row,
+    cosine rounded to 3 decimals (the float32-input discipline of
+    cosine_topk — centroid sums are order-sensitive in the last double
+    ulps across engines/partitionings, so parity is pinned at 1e-3 where
+    it is exact).
+
+    Scale shape: the per-dimension mean runs as posexplode →
+    groupBy(group, pos) with map-side partial avg — the shuffle carries
+    one row per (group, dimension) PER TASK, not per input row — and the
+    reassembled (#groups × 1) centroid table BROADCASTS back onto the
+    corpus scan, so the full pass over the vectors is join-shuffle-free.
+    The cosine itself is the fused zip_with/aggregate used everywhere in
+    this module (JVM-side, no UDF)."""
+    g = F.col(group_col)
+    pe = embeddings.select(
+        g.alias("_g"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    cent = (
+        pe.groupBy("_g", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("_g")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"]).alias("_centroid"))
+    )
+    v = F.col(vec_col)
+    cos = _dot(v, F.col("_centroid")) / (
+        F.nullif(_norm(v), F.lit(0.0))
+        * F.nullif(_norm(F.col("_centroid")), F.lit(0.0)))
+    return (
+        embeddings.join(F.broadcast(cent), g == F.col("_g"))
+        .select(F.col(id_col).alias("vec_id"), g.alias(group_col),
+                F.round(cos, 3).alias("cos_centroid"))
+    )

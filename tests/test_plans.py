@@ -135,7 +135,7 @@ SWEEP = [
     "pipe_mixture_plan", "dedup_keep_best",
     "pipe_chunk_documents", "text_bm25", "kg_triangle_count", "pipe_curate",
     "events_interval_join", "events_cube", "events_pivot", "text_langid",
-    "text_tfidf_top_terms", "text_cooccurrence_pmi",
+    "text_tfidf_top_terms", "text_cooccurrence_pmi", "sim_centroid_cosine",
 ]
 
 

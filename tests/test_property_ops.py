@@ -198,3 +198,58 @@ def test_embedding_near_dup_precision_and_exact_recall(
     # exact-duplicate recall: identical vectors share every band
     for i in range(min(dup_pairs, n_vecs)):
         assert (i, n_vecs + i) in got, (i, vecs)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    data=st.data(),
+    n_vecs=st.integers(min_value=2, max_value=10),
+    n_groups=st.integers(min_value=1, max_value=3),
+)
+def test_centroid_cosine_matches_python(spark, data, n_vecs, n_groups):
+    """Per-group mean vector + each member's cosine to it, vs a python
+    reference over the same float32-ingested vectors."""
+    from shacl_dqa_prototype_spark.operators.similarity import (
+        centroid_cosine,
+    )
+
+    dim = 6
+    vecs = [
+        [
+            data.draw(st.floats(min_value=-1, max_value=1, allow_nan=False,
+                                width=32), label=f"v{i}[{j}]")
+            for j in range(dim)
+        ]
+        for i in range(n_vecs)
+    ]
+    # all-zero vectors make the member cosine NULL (nullif) — keep them
+    # out so the reference stays total; a zero-sum CENTROID is still
+    # exercised (opposed vectors cancel)
+    vecs = [v if any(v) else [1.0] + v[1:] for v in vecs]
+    labels = [data.draw(st.integers(0, n_groups - 1), label=f"g{i}")
+              for i in range(n_vecs)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], g)
+         for i, (v, g) in enumerate(zip(vecs, labels))],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {r["vec_id"]: (r["label"], r["cos_centroid"])
+           for r in centroid_cosine(df, group_col="label").collect()}
+    import numpy as np
+
+    f32 = [np.array(v, dtype=np.float32).astype(np.float64) for v in vecs]
+    for g in set(labels):
+        members = [i for i, lg in enumerate(labels) if lg == g]
+        cent = np.mean([f32[i] for i in members], axis=0)
+        cn = float(np.sqrt((cent * cent).sum()))
+        for i in members:
+            vn = float(np.sqrt((f32[i] * f32[i]).sum()))
+            exp = (round(float(f32[i] @ cent) / (vn * cn), 3)
+                   if cn else None)
+            lab, got_cos = got[i]
+            assert lab == g
+            if exp is None:
+                assert got_cos is None, (i, got_cos)
+            else:
+                assert got_cos is not None and abs(got_cos - exp) <= 2e-3, (
+                    i, got_cos, exp, vecs, labels)
