@@ -526,6 +526,28 @@ def ext_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select(F.col("doc_id").cast("long").alias("doc_id"),
              "media_ref", "frame_idx")
 
+    def kg_media_dedup(spark, sf_dir):
+        from shacl_dqa_prototype_spark.operators.multimodal import (
+            media_duplicates,
+        )
+
+        med = explode_spans(_interleaved(spark, sf_dir)).filter(
+            F.col("kind") != "text")
+        # the fixture's refs are unique per doc — remap them into mod-97
+        # families so exact-duplicate PAYLOADS exist (the deterministic
+        # pseudo-payload derives from the ref), the way a crawl stores
+        # one logo under many URLs... except here the ref collision IS
+        # the byte collision, which is exactly what the digest detects
+        med = med.withColumn(
+            "media_ref",
+            F.concat(F.substring("kind", 1, 3), F.lit("://"),
+                     (F.col("doc_id").cast("long") % 97).cast("string")))
+        return media_duplicates(materialize_media(med)).select(
+            "digest", "n_copies", "n_docs",
+            F.col("canonical_doc").cast("long").alias("canonical_doc"),
+            "canonical_pos")
+    q["kg_media_dedup"] = kg_media_dedup
+
     # --- dedup clustering: pair edges → connected components → canonical
     # doc per cluster. Input seeds exact duplicates (shifted-id copies of
     # every 10th doc) so the oracle can re-derive the clusters.
@@ -1857,6 +1879,42 @@ def ext_oracles() -> dict[str, str]:
     o["kg_media_features"] = _media_decoded + """
     SELECT doc_id, span_pos, kind, media_ref, width, height, n_frames
     FROM feat"""
+
+    # media exact-dedup: payload re-derived as repeat(sha256(ref), 4) (the
+    # materialize_media pseudo-payload contract); canonical = smallest
+    # (doc_id AS VARCHAR, span_pos) because the media table's doc_id is a
+    # string — the Spark min(struct) is lexicographic on it
+    o["kg_media_dedup"] = """
+    WITH spans AS (
+      SELECT doc_id, 1 AS span_pos, 'image' AS kind FROM documents
+      WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END, 'audio'
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id,
+             1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+               + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END,
+             'video' FROM documents WHERE doc_id % 7 = 0),
+    pay AS (
+      SELECT doc_id, CAST(span_pos AS INT) AS span_pos,
+             md5(repeat(sha256(concat(substr(kind, 1, 3), '://',
+                                      doc_id % 97)), 4)) AS digest
+      FROM spans),
+    g AS (SELECT digest, CAST(count(*) AS BIGINT) AS n_copies,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM pay GROUP BY 1),
+    canon AS (
+      SELECT digest, doc_id, span_pos,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY CAST(doc_id AS VARCHAR),
+                                         span_pos) AS rn
+      FROM pay)
+    SELECT g.digest, g.n_copies, g.n_docs,
+           CAST(c.doc_id AS BIGINT) AS canonical_doc,
+           c.span_pos AS canonical_pos
+    FROM g JOIN canon c USING (digest)
+    WHERE c.rn = 1 AND g.n_copies >= 2"""
 
     o["pipe_pack_sequences"] = r"""
     WITH toks AS (

@@ -189,6 +189,42 @@ def decode_features(media: DataFrame, real_decode: bool = True) -> DataFrame:
     return media.mapInPandas(decode, schema=FEATURES_SCHEMA)
 
 
+def media_duplicates(media: DataFrame) -> DataFrame:
+    """Exact media-blob dedup across the interleaved corpus: group the
+    materialized payloads by CONTENT digest and emit every blob stored
+    more than once — the multimodal analog of text exact-dedup (a crawl
+    stores the same logo/stock image under thousands of URLs; dedup by
+    bytes, not by ref). Emits ``(digest, n_copies, n_docs,
+    canonical_doc, canonical_pos)`` for digests with ≥ 2 copies; the
+    canonical copy is the lexicographically smallest (doc_id, span_pos)
+    — the deterministic keep policy, same discipline as text
+    exact_duplicate_clusters.
+
+    Scale shape: ONE partial-aggregated shuffle on the 32-byte digest
+    (the payload itself never shuffles — the digest is computed in the
+    scan projection and the blob column is pruned immediately), so at
+    100 TB the exchange carries hashes + ids only. Count-distinct of
+    doc_id rides the same aggregate. Refs are NOT trusted: two refs with
+    identical bytes dedup together, one ref delivering different bytes
+    (CDN rotation) stays apart."""
+    h = F.md5(F.col("payload"))
+    return (
+        media.select(h.alias("digest"), "doc_id", "span_pos")
+        .groupBy("digest")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min(F.struct("doc_id", "span_pos")).alias("_c"),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "digest", "n_copies", "n_docs",
+            F.col("_c.doc_id").alias("canonical_doc"),
+            F.col("_c.span_pos").alias("canonical_pos"),
+        )
+    )
+
+
 def frame_sample_plan(features: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plumbing for video: one row per sampled frame index
     (native posexplode of a sequence — the decode of each frame would be a

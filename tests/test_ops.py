@@ -1282,3 +1282,40 @@ def test_sessionize_watermark_param_batch_noop(spark):
     wm = sorted(tuple(r) for r in sessionize_session_window(
         ev, watermark="1 hour").collect())
     assert base == wm and len(base) == 2
+
+
+def test_media_duplicates_exact_families(spark):
+    """Blob families by content digest: refs are not trusted (two refs
+    with identical bytes dedup together; one ref with different bytes
+    stays apart), canonical = smallest (doc_id, span_pos) string order,
+    singletons are not emitted."""
+    from shacl_dqa_prototype_spark.operators.multimodal import (
+        media_duplicates,
+    )
+
+    rows = [
+        # family A: same bytes under three refs, across two docs —
+        # "10" < "9" lexicographically, so canonical_doc is "10"
+        ("9", 1, "u://a", b"LOGO"),
+        ("9", 2, "u://b", b"LOGO"),
+        ("10", 0, "u://c", b"LOGO"),
+        # same ref, DIFFERENT bytes: must NOT join family A
+        ("11", 0, "u://a", b"rotated"),
+        # family B: a pair within one doc
+        ("2", 3, "u://d", b"JINGLE"),
+        ("2", 5, "u://e", b"JINGLE"),
+        # singleton: never emitted
+        ("3", 0, "u://f", b"unique"),
+    ]
+    media = spark.createDataFrame(
+        rows, ["doc_id", "span_pos", "media_ref", "payload"])
+    got = {r["digest"]: (r["n_copies"], r["n_docs"],
+                         r["canonical_doc"], r["canonical_pos"])
+           for r in media_duplicates(media).collect()}
+    import hashlib
+
+    dig = lambda b: hashlib.md5(b).hexdigest()  # noqa: E731
+    assert got == {
+        dig(b"LOGO"): (3, 2, "10", 0),
+        dig(b"JINGLE"): (2, 1, "2", 3),
+    }, got

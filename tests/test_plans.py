@@ -136,6 +136,7 @@ SWEEP = [
     "pipe_chunk_documents", "text_bm25", "kg_triangle_count", "pipe_curate",
     "events_interval_join", "events_cube", "events_pivot", "text_langid",
     "text_tfidf_top_terms", "text_cooccurrence_pmi", "sim_centroid_cosine",
+    "kg_media_dedup",
 ]
 
 
