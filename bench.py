@@ -50,6 +50,18 @@ from shacl_dqa_prototype_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# The scaling/throughput modes run an 8M-doc (~29M-triple) end-to-end job;
+# at the library's 8g default heap that job is memory-MARGINAL — depending
+# on task scheduling it either GC-thrashes (one 2026-08-20 run measured the
+# hi config 26% slow purely from eviction pressure) or dies outright
+# (java.lang.OutOfMemoryError, log retained in bench_r5_scaling9b.json).
+# An OOM-thrashing JVM measures the collector, not the engine, so the big
+# modes get a corpus-sized heap. Must be decided BEFORE the first session:
+# local-mode pyspark launches ONE JVM per python process, and later
+# spark.driver.memory configs are silently ignored.
+if any(m in sys.argv for m in ("--scaling", "--dqa-throughput")):
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 # Headline suite: one per operator family (profiling, constraints, scoring,
 # dedup, similarity, text, analytics). Trimmed to queries whose runtime is
 # dominated by engine work, not fixture setup.
@@ -266,9 +278,16 @@ def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
     t0 = time.time()
     # fixed bucket count so different-parallelism runs do identical work
     res = run_construction(spark, docs, dictionary, wd, n_buckets=32)
+    t_construct = time.time() - t0
     if with_dqa:
         _run_dqa(spark, res.triples_path, os.path.join(wd, "report"))
     dt = time.time() - t0
+    # phase split for the scaling report: shows where non-scaling
+    # (serial/driver) time sits at each parallelism level
+    _construction_run.last_phases = {
+        "construct_sec": round(t_construct, 2),
+        "dqa_sec": round(dt - t_construct, 2),
+    }
     n_triples = spark.read.parquet(
         os.path.join(wd, "triples.parquet")).count()
     shutil.rmtree(wd, ignore_errors=True)
@@ -916,9 +935,13 @@ def main() -> None:
         n_sc = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 8_000_000))
         sc_dir, sc_cfg = _materialize_corpus(n_sc)
         hi1, sc_n = _construction_run(hi_cores, sc_dir, sc_cfg, with_dqa=True)
+        ph_hi1 = _construction_run.last_phases
         lo1, _ = _construction_run(lo_cores, sc_dir, sc_cfg, with_dqa=True)
+        ph_lo1 = _construction_run.last_phases
         hi2, _ = _construction_run(hi_cores, sc_dir, sc_cfg, with_dqa=True)
+        ph_hi2 = _construction_run.last_phases
         lo2, _ = _construction_run(lo_cores, sc_dir, sc_cfg, with_dqa=True)
+        ph_lo2 = _construction_run.last_phases
         hi_best, lo_best = min(hi1, hi2), min(lo1, lo2)
         out["scaling"] = {
             "mode": "strong end-to-end (construct+DQA), same input, 2 vs 8 cores",
@@ -930,6 +953,10 @@ def main() -> None:
             "triples_per_sec_lo": round(sc_n / lo_best, 1),
             "triples_per_sec_hi": round(sc_n / hi_best, 1),
             "efficiency": round((lo_best / hi_best) / (hi_cores / lo_cores), 3),
+            "samples_hi": [round(hi1, 2), round(hi2, 2)],
+            "samples_lo": [round(lo1, 2), round(lo2, 2)],
+            "phases_hi": [ph_hi1, ph_hi2],
+            "phases_lo": [ph_lo1, ph_lo2],
         }
         shutil.rmtree(sc_dir, ignore_errors=True)
 
