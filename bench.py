@@ -261,7 +261,8 @@ def _run_dqa(spark, triples_path: str, report_path: str) -> None:
 
 
 def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
-                      with_dqa: bool = False) -> tuple[float, int]:
+                      with_dqa: bool = False,
+                      extra_conf: dict | None = None) -> tuple[float, int]:
     """Construction job (read corpus → extract → link → CC → materialize)
     at the given parallelism; with_dqa=True appends the full DQA half
     (profile → compiled constraints → scoring → report write), i.e. the
@@ -271,7 +272,8 @@ def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    spark = get_spark(f"bench-construct-{cores}", cores=cores)
+    spark = get_spark(f"bench-construct-{cores}", cores=cores,
+                      extra_conf=extra_conf)
     docs = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
     dictionary = entity_dictionary(spark, cfg)
     wd = tempfile.mkdtemp(prefix="bench_kg_")
@@ -293,6 +295,57 @@ def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
     shutil.rmtree(wd, ignore_errors=True)
     spark.stop()
     return dt, n_triples
+
+
+def _construction_child() -> None:
+    """Entry point for ONE isolated scaling run (spawned by
+    _isolated_construction_run): its own python process means its own
+    JVM, so heap, GC/JIT thread pools, and code cache are sized to the
+    simulated cluster slice instead of shared across configs.
+    argv: --_construction-child <cores> <corpus_dir> <n_docs> <out_json>"""
+    cores = int(sys.argv[2])
+    corpus_dir = sys.argv[3]
+    n_docs = int(sys.argv[4])
+    out_path = sys.argv[5]
+    # same derivation as _materialize_corpus, so the dictionary matches
+    cfg = GenConfig(n_docs=n_docs, n_entities=max(100, n_docs // 20))
+    # ActiveProcessorCount makes the JVM size GC/JIT/netty pools to the
+    # simulated core count (a real N-core executor's JVM sees N procs,
+    # not the whole host) — honored at JVM launch like driver memory.
+    dt, n = _construction_run(
+        cores, corpus_dir, cfg, with_dqa=True,
+        extra_conf={"spark.driver.extraJavaOptions":
+                    f"-XX:ActiveProcessorCount={cores}"})
+    with open(out_path, "w") as f:
+        json.dump({"sec": dt, "n_triples": n,
+                   "phases": _construction_run.last_phases}, f)
+
+
+def _isolated_construction_run(cores: int, corpus_dir: str,
+                               n_docs: int) -> dict:
+    """Run the end-to-end job at `cores` parallelism in a fresh
+    subprocess whose JVM resources are PROPORTIONAL to the simulated
+    cluster size: heap = 4g base + 4g/core (a cluster of N nodes has
+    N× the memory of a cluster of 1; equal-heap shared-JVM runs hand
+    the small config the big config's GC threads and storage memory,
+    which deflates measured efficiency — see bench_r5_scaling10 vs 11).
+    JVM startup is outside the timed window (the child times the job
+    only)."""
+    import subprocess
+
+    fd, out_path = tempfile.mkstemp(suffix=".json", prefix="bench_iso_")
+    os.close(fd)
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{4 + 4 * cores}g")
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--_construction-child", str(cores), corpus_dir,
+             str(n_docs), out_path],
+            check=True, env=env)
+        with open(out_path) as f:
+            return json.load(f)
+    finally:
+        os.unlink(out_path)
 
 
 def _ann_recall(n_vecs: int = 100_000, dim: int = 64,
@@ -934,29 +987,36 @@ def main() -> None:
         lo_cores, hi_cores = 2, 8
         n_sc = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", 8_000_000))
         sc_dir, sc_cfg = _materialize_corpus(n_sc)
-        hi1, sc_n = _construction_run(hi_cores, sc_dir, sc_cfg, with_dqa=True)
-        ph_hi1 = _construction_run.last_phases
-        lo1, _ = _construction_run(lo_cores, sc_dir, sc_cfg, with_dqa=True)
-        ph_lo1 = _construction_run.last_phases
-        hi2, _ = _construction_run(hi_cores, sc_dir, sc_cfg, with_dqa=True)
-        ph_hi2 = _construction_run.last_phases
-        lo2, _ = _construction_run(lo_cores, sc_dir, sc_cfg, with_dqa=True)
-        ph_lo2 = _construction_run.last_phases
-        hi_best, lo_best = min(hi1, hi2), min(lo1, lo2)
+        # Each config runs in its own subprocess/JVM with resources
+        # proportional to the simulated cluster size (heap 4g+4g/core,
+        # ActiveProcessorCount=cores) — the faithful "two cluster
+        # sizes" proxy: a shared JVM hands the small config the big
+        # config's GC threads and storage memory.
+        hi1 = _isolated_construction_run(hi_cores, sc_dir, n_sc)
+        lo1 = _isolated_construction_run(lo_cores, sc_dir, n_sc)
+        hi2 = _isolated_construction_run(hi_cores, sc_dir, n_sc)
+        lo2 = _isolated_construction_run(lo_cores, sc_dir, n_sc)
+        sc_n = hi1["n_triples"]
+        hi_best = min(hi1["sec"], hi2["sec"])
+        lo_best = min(lo1["sec"], lo2["sec"])
         out["scaling"] = {
-            "mode": "strong end-to-end (construct+DQA), same input, 2 vs 8 cores",
+            "mode": ("strong end-to-end (construct+DQA), same input, "
+                     "2 vs 8 cores, isolated per-config JVMs with "
+                     "cluster-proportional resources"),
             "cores_lo": lo_cores,
             "cores_hi": hi_cores,
+            "heap_lo_g": 4 + 4 * lo_cores,
+            "heap_hi_g": 4 + 4 * hi_cores,
             "docs": n_sc,
             "sec_lo": round(lo_best, 2),
             "sec_hi": round(hi_best, 2),
             "triples_per_sec_lo": round(sc_n / lo_best, 1),
             "triples_per_sec_hi": round(sc_n / hi_best, 1),
             "efficiency": round((lo_best / hi_best) / (hi_cores / lo_cores), 3),
-            "samples_hi": [round(hi1, 2), round(hi2, 2)],
-            "samples_lo": [round(lo1, 2), round(lo2, 2)],
-            "phases_hi": [ph_hi1, ph_hi2],
-            "phases_lo": [ph_lo1, ph_lo2],
+            "samples_hi": [round(hi1["sec"], 2), round(hi2["sec"], 2)],
+            "samples_lo": [round(lo1["sec"], 2), round(lo2["sec"], 2)],
+            "phases_hi": [hi1["phases"], hi2["phases"]],
+            "phases_lo": [lo1["phases"], lo2["phases"]],
         }
         shutil.rmtree(sc_dir, ignore_errors=True)
 
@@ -965,4 +1025,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--_construction-child":
+        _construction_child()
+    else:
+        main()
