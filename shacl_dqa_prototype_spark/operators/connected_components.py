@@ -109,10 +109,23 @@ def connected_components(
     cur = _symmetrize(edges).localCheckpoint(eager=True)
     n_edges = cur.count()
     if n_edges <= driver_threshold:
-        rows = _driver_union_find(
-            [(r["src"], r["dst"]) for r in cur.collect()])
+        # Arrow both ways: a Row-object collect() + createDataFrame(list)
+        # costs tens of driver-seconds per million rows — measured as the
+        # dominant NON-SCALING term of the 8M-doc construction (the 2- and
+        # 8-core configs paid the identical ~80 s, flattening the
+        # strong-scaling curve). toPandas()/createDataFrame(pandas) ride
+        # the session's Arrow exchange instead.
+        edges_pdf = cur.toPandas()
         cur.unpersist()  # collected; the checkpoint blocks are dead weight
-        return spark.createDataFrame(rows, "node string, component string")
+        rows = _driver_union_find(
+            list(zip(edges_pdf["src"], edges_pdf["dst"])))
+        if not rows:
+            return spark.createDataFrame([], "node string, component string")
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["node", "component"]),
+            schema="node string, component string")
     prev_sig = None
     converged = False
     for i in range(max_iter):
