@@ -975,7 +975,7 @@ def main() -> None:
         # with cluster-proportional resources as --scaling.
         lo_cores, hi_cores = 2, 8
         n_lo = int(os.environ.get("SPARK_GRAFT_WEAK_DOCS_LO", 2_000_000))
-        n_hi = n_lo * (hi_cores // lo_cores) * 2  # 4x docs for 4x cores
+        n_hi = n_lo * (hi_cores // lo_cores)  # 4x docs for 4x cores
         lo_dir, _ = _materialize_corpus(n_lo)
         hi_dir, _ = _materialize_corpus(n_hi)
         w_hi1 = _isolated_construction_run(hi_cores, hi_dir, n_hi)
