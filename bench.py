@@ -286,10 +286,12 @@ def _construction_run(cores: int, corpus_dir: str, cfg: GenConfig,
         _run_dqa(spark, res.triples_path, os.path.join(wd, "report"))
     dt = time.time() - t0
     # phase split for the scaling report: shows where non-scaling
-    # (serial/driver) time sits at each parallelism level
+    # (serial/driver) time sits at each parallelism level, down to the
+    # construction stage (extract/link/canonicalize/materialize)
     _construction_run.last_phases = {
         "construct_sec": round(t_construct, 2),
         "dqa_sec": round(dt - t_construct, 2),
+        "stages": res.stage_seconds,
     }
     n_triples = spark.read.parquet(
         os.path.join(wd, "triples.parquet")).count()
@@ -325,24 +327,36 @@ def _construction_child() -> None:
 def _isolated_construction_run(cores: int, corpus_dir: str,
                                n_docs: int) -> dict:
     """Run the end-to-end job at `cores` parallelism in a fresh
-    subprocess whose JVM resources are PROPORTIONAL to the simulated
-    cluster size: heap = 4g base + 4g/core (a cluster of N nodes has
-    N× the memory of a cluster of 1; equal-heap shared-JVM runs hand
-    the small config the big config's GC threads and storage memory,
-    which deflates measured efficiency — see bench_r5_scaling10 vs 11).
+    subprocess whose resources are PROPORTIONAL to the simulated
+    cluster size:
+
+    - heap = 4g base + 4g/core (a cluster of N nodes has N× the memory
+      of a cluster of 1; equal-heap shared-JVM runs hand the small
+      config the big config's GC threads and storage memory, which
+      deflates measured efficiency — see bench_r5_scaling10 vs 11);
+    - CPU affinity pinned to exactly `cores` host CPUs (taskset, when
+      available) — the cpuset a real executor container gets. Without
+      pinning the process tree overshoots its budget asymmetrically
+      (JVM helper threads + out-of-band python UDF workers: measured
+      ~2.6 busy cores for local[2] and ~8.8 for local[8] on this host),
+      so the small config free-rides ~30% extra CPU and the measured
+      efficiency understates a real N vs 4N cluster.
+
     JVM startup is outside the timed window (the child times the job
     only)."""
+    import shutil as _shutil
     import subprocess
 
     fd, out_path = tempfile.mkstemp(suffix=".json", prefix="bench_iso_")
     os.close(fd)
     env = dict(os.environ, SPARK_DRIVER_MEM=f"{4 + 4 * cores}g")
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--_construction-child", str(cores), corpus_dir,
+           str(n_docs), out_path]
+    if _shutil.which("taskset") and cores < os.cpu_count():
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     try:
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--_construction-child", str(cores), corpus_dir,
-             str(n_docs), out_path],
-            check=True, env=env)
+        subprocess.run(cmd, check=True, env=env)
         with open(out_path) as f:
             return json.load(f)
     finally:

@@ -188,6 +188,7 @@ def cmd_construct(args) -> None:
         "triples_path": res.triples_path,
         "stages_run": res.stages_run,
         "stages_resumed": res.stages_resumed,
+        "stage_seconds": res.stage_seconds,
         "n_triples": n,
         "sec": round(time.time() - t0, 2),
         "triples_per_sec": round(n / max(time.time() - t0, 1e-9), 1),

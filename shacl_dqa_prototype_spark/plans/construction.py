@@ -30,6 +30,10 @@ class PipelineResult:
     triples_path: str
     stages_run: list[str]
     stages_resumed: list[str]
+    # wall seconds per executed stage (resumed stages absent) — the
+    # scaling bench reports these so serial floors are attributable to a
+    # stage, not guessed at from the end-to-end split
+    stage_seconds: dict[str, float] | None = None
 
 
 def run_construction(
@@ -47,11 +51,15 @@ def run_construction(
     tests). Each stage writes parquet + a manifest commit."""
     manifest = Manifest(workdir)
     run, resumed = [], []
+    stage_seconds: dict[str, float] = {}
 
     def stage(name: str, compute, path: str, writer=None, reader=None) -> DataFrame:
+        import time as _time
+
         if resume and manifest.committed(name):
             resumed.append(name)
             return (reader or (lambda: spark.read.parquet(path)))()
+        _t0 = _time.time()
         # Manifest counters ride the write job via observe() — zero extra
         # actions per stage (a per-stage count() would double the job count).
         from pyspark.sql import Observation
@@ -70,6 +78,7 @@ def run_construction(
         )
         manifest.commit(name, rows=metrics["rows"] or 0, partitions=n_parts,
                         payload={"path": path})
+        stage_seconds[name] = round(_time.time() - _t0, 2)
         run.append(name)
         if stop_after == name:
             raise InterruptedError(f"simulated crash after stage {name}")
@@ -109,4 +118,4 @@ def run_construction(
         reader=lambda: read_triples(spark, triples_path),
     )
 
-    return PipelineResult(triples_path, run, resumed)
+    return PipelineResult(triples_path, run, resumed, stage_seconds)
